@@ -1,0 +1,215 @@
+"""Single-rigid-body MPC model: continuous dynamics, discretization, and the
+condensed horizon QP construction.
+
+Re-designed from the reference's ``ConvexMpc`` (ConvexMpc.cpp:110-260) for
+TPU/XLA:
+
+- The continuous A matrix is nilpotent-plus-structure: ``A_c`` has only the
+  omega->rpy-rate block (yaw-only, ConvexMpc.cpp:123-129), the velocity->
+  position identity, and the gravity channel ``A_c[11,12]=1``. Because
+  ``A_c^3 = 0`` exactly, the forward-Euler discrete powers have the closed
+  form ``A_d^k = I + k*dt*A_c + C(k,2)*dt^2*A_c^2`` — the ~0.2 ms the
+  reference spends on the sequential A_qp/B_qp power stack
+  (ConvexMpc.cpp:180-202) collapses into a few fused broadcasts.
+- B_qp is block-Toeplitz in ``M_k = A_d^k B_d`` (when B is held constant over
+  the horizon, as the production path does — A1RobotControl.cpp:498-514); the
+  (130x120) matrix is materialized with one masked einsum, and the
+  (120x120) hessian ``B' Q B + R`` is a single MXU matmul.
+- Everything vmaps over a scenario batch; shapes are static in the horizon.
+
+State layout (13): [roll,pitch,yaw, x,y,z, wx,wy,wz, vx,vy,vz, g] with the
+gravity constant as the 13th state (value -9.8, A1RobotControl.cpp:456).
+Decision variables (12 per step): world-frame ground-reaction forces, 3 per
+leg, legs ordered FL,FR,RL,RR.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from a1_qp_mpc_controller_tpu.config import (
+    MPC_STATE_DIM, NUM_DOF, NUM_LEG, PLAN_HORIZON,
+)
+from a1_qp_mpc_controller_tpu.utils.mathx import skew
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def continuous_a(root_euler: jnp.ndarray) -> jnp.ndarray:
+    """A_c (13,13). Parity: ConvexMpc::calculate_A_mat_c
+    (ConvexMpc.cpp:110-130) — yaw-only angular-velocity-to-rpy-rate map."""
+    dtype = root_euler.dtype
+    cy, sy = jnp.cos(root_euler[2]), jnp.sin(root_euler[2])
+    a = jnp.zeros((MPC_STATE_DIM, MPC_STATE_DIM), dtype)
+    ang_vel_to_rpy = jnp.stack([
+        jnp.stack([cy, sy, jnp.zeros((), dtype)]),
+        jnp.stack([-sy, cy, jnp.zeros((), dtype)]),
+        jnp.array([0.0, 0.0, 1.0], dtype),
+    ])
+    a = a.at[0:3, 6:9].set(ang_vel_to_rpy)
+    a = a.at[3:6, 9:12].set(jnp.eye(3, dtype=dtype))
+    a = a.at[11, 12].set(1.0)
+    return a
+
+
+def continuous_b(robot_mass: jnp.ndarray, trunk_inertia: jnp.ndarray,
+                 root_rot_mat: jnp.ndarray,
+                 foot_pos: jnp.ndarray) -> jnp.ndarray:
+    """B_c (13,12). Parity: ConvexMpc::calculate_B_mat_c
+    (ConvexMpc.cpp:132-143). ``foot_pos`` is (4,3) world-aligned
+    body-centered foot positions."""
+    dtype = foot_pos.dtype
+    inertia_world = root_rot_mat @ trunk_inertia @ root_rot_mat.T
+    inv_inertia = jnp.linalg.inv(inertia_world)
+    b = jnp.zeros((MPC_STATE_DIM, NUM_DOF), dtype)
+    torque_blocks = jnp.einsum("ab,lbc->lac", inv_inertia, skew(foot_pos),
+                               precision=_HIGH)  # (4,3,3)
+    force_block = jnp.eye(3, dtype=dtype) / robot_mass
+    for i in range(NUM_LEG):
+        b = b.at[6:9, 3 * i:3 * i + 3].set(torque_blocks[i])
+        b = b.at[9:12, 3 * i:3 * i + 3].set(force_block)
+    return b
+
+
+def discretize(a_c: jnp.ndarray, b_c: jnp.ndarray, dt: jnp.ndarray):
+    """Forward-Euler discretization, deliberately matching the reference's
+    simplification (not expm): A_d = I + A_c dt, B_d = B_c dt
+    (ConvexMpc.cpp:145-156)."""
+    a_d = jnp.eye(MPC_STATE_DIM, dtype=a_c.dtype) + a_c * dt
+    b_d = b_c * dt
+    return a_d, b_d
+
+
+def a_d_powers(a_c: jnp.ndarray, dt: jnp.ndarray, horizon: int) -> jnp.ndarray:
+    """(H+1, 13, 13) stack of A_d^k for k = 0..H, in closed form.
+
+    A_c is nilpotent of index 3 (A_c^2 has the single entry [5,12] coming
+    from gravity integrating into z-position), so
+    ``(I + dt A_c)^k = I + k dt A_c + k(k-1)/2 dt^2 A_c^2`` exactly.
+    """
+    dtype = a_c.dtype
+    k = jnp.arange(horizon + 1, dtype=dtype)
+    a_c2 = jnp.matmul(a_c, a_c, precision=_HIGH)
+    eye = jnp.eye(MPC_STATE_DIM, dtype=dtype)
+    return (eye[None] + k[:, None, None] * dt * a_c
+            + (k * (k - 1.0) / 2.0)[:, None, None] * dt * dt * a_c2)
+
+
+@partial(jax.jit, static_argnames=("horizon",))
+def condense(a_c: jnp.ndarray, b_d_list: jnp.ndarray, dt: jnp.ndarray,
+             horizon: int = PLAN_HORIZON):
+    """Build A_qp (H*13, 13) and B_qp (H*13, H*12).
+
+    Parity with ConvexMpc::calculate_qp_mats (ConvexMpc.cpp:166-202):
+      A_qp row-block i = A_d^(i+1)
+      B_qp block (i,j) = A_d^(i-j) B_d[j]  for j <= i, else 0.
+
+    ``b_d_list`` is (H, 13, 12); the production path passes H copies of one
+    B_d (same foot positions for the whole horizon), but per-step B matrices
+    (as the reference's test_mpc.cpp:106-122 uses) are supported unchanged.
+    """
+    n, m = MPC_STATE_DIM, NUM_DOF
+    powers = a_d_powers(a_c, dt, horizon)          # (H+1, n, n)
+    a_qp = powers[1:].reshape(horizon * n, n)      # rows A_d^1 .. A_d^H
+
+    i_idx = jnp.arange(horizon)[:, None]
+    j_idx = jnp.arange(horizon)[None, :]
+    lag = jnp.clip(i_idx - j_idx, 0, horizon)      # (H, H)
+    toeplitz = powers[lag]                         # (H, H, n, n)
+    mask = (i_idx >= j_idx).astype(a_c.dtype)[:, :, None, None]
+    blocks = jnp.einsum("ijab,jbc->ijac", toeplitz * mask, b_d_list,
+                        precision=_HIGH)           # (H, H, n, m)
+    b_qp = blocks.transpose(0, 2, 1, 3).reshape(horizon * n, horizon * m)
+    return a_qp, b_qp
+
+
+@partial(jax.jit, static_argnames=("horizon",))
+def mpc_cost(a_qp: jnp.ndarray, b_qp: jnp.ndarray, q_weights: jnp.ndarray,
+             r_weights: jnp.ndarray, mpc_states: jnp.ndarray,
+             mpc_states_d: jnp.ndarray, horizon: int = PLAN_HORIZON):
+    """Condensed QP cost: P = B' Q B + R, q = B' Q (A x0 - x_ref).
+
+    Matches ConvexMpc.cpp:207-217 including the factor-2 convention baked
+    into the reference's Q/R diagonals (ConvexMpc.cpp:20,41): Q = 2*diag(q_w
+    tiled), R = 2*diag(r_w tiled).
+    """
+    q_diag = 2.0 * jnp.tile(q_weights, horizon)    # (H*13,)
+    r_diag = 2.0 * jnp.tile(r_weights, horizon)    # (H*12,)
+    bq = b_qp * q_diag[:, None]                    # Q B (diag scale)
+    p_mat = jnp.matmul(b_qp.T, bq, precision=_HIGH)
+    p_mat = p_mat + jnp.diag(r_diag)
+    resid = a_qp @ mpc_states - mpc_states_d       # (H*13,)
+    q_vec = jnp.matmul(bq.T, resid, precision=_HIGH)
+    return p_mat, q_vec
+
+
+def friction_constraint_matrix(mu: jnp.ndarray, horizon: int = PLAN_HORIZON,
+                               dtype=jnp.float32) -> jnp.ndarray:
+    """(H*20, H*12) MPC constraint matrix: per (step, leg) the 5 rows
+    { Fx + mu Fz in [0, inf), Fx - mu Fz in (-inf, 0],
+      Fy + mu Fz in [0, inf), Fy - mu Fz in (-inf, 0],
+      Fz in [c*fz_min, c*fz_max] }   (ConvexMpc.cpp:46-58, 226-239)."""
+    one = jnp.ones((), dtype)
+    leg_block = jnp.stack([
+        jnp.stack([one, 0 * one, mu]),
+        jnp.stack([one, 0 * one, -mu]),
+        jnp.stack([0 * one, one, mu]),
+        jnp.stack([0 * one, one, -mu]),
+        jnp.stack([0 * one, 0 * one, one]),
+    ])  # (5,3)
+    n_blk = horizon * NUM_LEG
+    mat = jnp.zeros((n_blk, 5, n_blk, 3), dtype)
+    idx = jnp.arange(n_blk)
+    mat = mat.at[idx, :, idx, :].set(jnp.broadcast_to(leg_block,
+                                                      (n_blk, 5, 3)))
+    return mat.reshape(n_blk * 5, n_blk * 3)
+
+
+def mpc_bounds(contacts: jnp.ndarray, fz_min: jnp.ndarray,
+               fz_max: jnp.ndarray, horizon: int = PLAN_HORIZON,
+               dtype=jnp.float32):
+    """(H*20,) lower/upper bounds. The *current* tick's contact flags gate all
+    horizon steps (reference quirk, ConvexMpc.cpp:228-245)."""
+    inf = jnp.asarray(jnp.inf, dtype)
+    c = contacts.astype(dtype)  # (4,)
+    lb_leg = jnp.stack([jnp.zeros_like(c), -inf * jnp.ones_like(c),
+                        jnp.zeros_like(c), -inf * jnp.ones_like(c),
+                        fz_min * c], axis=-1)  # (4,5)
+    ub_leg = jnp.stack([inf * jnp.ones_like(c), jnp.zeros_like(c),
+                        inf * jnp.ones_like(c), jnp.zeros_like(c),
+                        fz_max * c], axis=-1)
+    lb = jnp.tile(lb_leg.reshape(-1), horizon)
+    ub = jnp.tile(ub_leg.reshape(-1), horizon)
+    return lb, ub
+
+
+def build_reference_trajectory(root_euler, root_pos, root_pos_d, root_euler_d,
+                               root_ang_vel_d, root_lin_vel_d_world, dt,
+                               horizon: int = PLAN_HORIZON):
+    """(H*13,) desired state trajectory. Parity: A1RobotControl.cpp:470-488 —
+    constant desired roll/pitch & rates, yaw and xy-position integrated from
+    the current state at the commanded rates, fixed desired height, zero
+    desired vz, gravity -9.8."""
+    dtype = root_euler.dtype
+    steps = jnp.arange(1, horizon + 1, dtype=dtype) * dt  # (H,)
+    zeros = jnp.zeros_like(steps)
+    ones = jnp.ones_like(steps)
+    traj = jnp.stack([
+        root_euler_d[0] * ones,
+        root_euler_d[1] * ones,
+        root_euler[2] + root_ang_vel_d[2] * steps,
+        root_pos[0] + root_lin_vel_d_world[0] * steps,
+        root_pos[1] + root_lin_vel_d_world[1] * steps,
+        root_pos_d[2] * ones,
+        root_ang_vel_d[0] * ones,
+        root_ang_vel_d[1] * ones,
+        root_ang_vel_d[2] * ones,
+        root_lin_vel_d_world[0] * ones,
+        root_lin_vel_d_world[1] * ones,
+        zeros,
+        -9.8 * ones,
+    ], axis=-1)  # (H, 13)
+    return traj.reshape(-1)

@@ -1,0 +1,312 @@
+"""Dense box-constrained QP solver: OSQP-semantics ADMM in pure JAX.
+
+Solves   minimize 1/2 x'Px + q'x   s.t.  l <= Ax <= u
+with the same algorithmic ingredients as the OSQP solver the reference links
+(A1RobotControl.cpp:416-431 stand QP, :522-540 warm-started MPC QP):
+
+- modified Ruiz equilibration (diagonal D/E + cost scaling c),
+- ADMM splitting with relaxation alpha, regularization sigma, and a
+  per-constraint stepsize vector rho (rows with l == u are treated as
+  equalities with 1e3x rho; free rows get rho_min — OSQP's convention),
+- periodic unscaled-residual termination checks (check_every, like OSQP's
+  check_termination=25) and deterministic interval-based adaptive rho
+  (OSQP's time-based adaptation is nondeterministic; fixed-interval is the
+  reproducible variant),
+- warm starting of (x, y).
+
+TPU-first design choices: the single KKT factorization per solve is formed as
+an explicit inverse (one 120x120 Cholesky-based inverse on the MXU) so every
+ADMM iteration is pure matmul/VPU work with no triangular solves; under
+``vmap`` the whole solver becomes batched matmuls over the scenario axis; and
+the iteration loop is a ``lax.while_loop`` in checked blocks so single-
+scenario latency exits early while batches run lock-step.
+
+This module is the generic dense solver. It is exact-shape static: (n, m)
+come from the operands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+MIN_SCALING = 1e-4
+MAX_SCALING = 1e4
+RHO_MIN = 1e-6
+RHO_MAX = 1e6
+RHO_EQ_SCALE = 1e3
+RHO_TOL = 1e-4          # |u - l| below this => treat row as equality
+ADAPTIVE_RHO_TOL = 5.0  # only change rho when it moves by >= 5x (OSQP)
+
+
+@dataclasses.dataclass(frozen=True)
+class QPSettings:
+    """Static solver settings (baked into the jitted computation)."""
+
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
+    max_iter: int = 4000
+    check_every: int = 25
+    scaling_iters: int = 10
+    adaptive_rho: bool = True
+
+
+class QPSolution(struct.PyTreeNode):
+    x: jnp.ndarray          # (n,) primal
+    y: jnp.ndarray          # (m,) dual
+    z: jnp.ndarray          # (m,) constraint activity Ax
+    iters: jnp.ndarray      # () int32
+    prim_res: jnp.ndarray   # () unscaled ||Ax - z||_inf
+    dual_res: jnp.ndarray   # () unscaled ||Px + q + A'y||_inf
+    converged: jnp.ndarray  # () bool
+    rho: jnp.ndarray        # () final/estimated rho — carry into the next
+    #                            warm-started solve (OSQP keeps rho across
+    #                            update* calls)
+
+
+class ScaledProblem(struct.PyTreeNode):
+    P: jnp.ndarray
+    q: jnp.ndarray
+    A: jnp.ndarray
+    l: jnp.ndarray
+    u: jnp.ndarray
+    d: jnp.ndarray   # (n,) variable scaling D
+    e: jnp.ndarray   # (m,) constraint scaling E
+    c: jnp.ndarray   # () cost scaling
+
+
+def _inf_norm_cols(m: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(jnp.abs(m), axis=0)
+
+
+def _limit(v: jnp.ndarray) -> jnp.ndarray:
+    v = jnp.where(v < MIN_SCALING, jnp.ones_like(v), v)
+    return jnp.clip(v, MIN_SCALING, MAX_SCALING)
+
+
+def ruiz_equilibrate(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
+                     l: jnp.ndarray, u: jnp.ndarray,
+                     iters: int = 10) -> ScaledProblem:
+    """Modified Ruiz equilibration (OSQP §5.1): iteratively scale variables by
+    1/sqrt(inf-norm of [P;A] columns) and constraints by 1/sqrt(inf-norm of A
+    rows), then normalize the cost."""
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+    d_acc = jnp.ones((n,), dtype)
+    e_acc = jnp.ones((m,), dtype)
+    c_acc = jnp.ones((), dtype)
+
+    def body(_, carry):
+        P, q, A, d_acc, e_acc, c_acc = carry
+        col = jnp.maximum(_inf_norm_cols(P), _inf_norm_cols(A))
+        d = 1.0 / jnp.sqrt(_limit(col))
+        row = jnp.max(jnp.abs(A), axis=1)
+        e = 1.0 / jnp.sqrt(_limit(row))
+        P = d[:, None] * P * d[None, :]
+        q = d * q
+        A = e[:, None] * A * d[None, :]
+        d_acc = d_acc * d
+        e_acc = e_acc * e
+        # cost normalization
+        col_p = jnp.mean(_inf_norm_cols(P))
+        norm_q = jnp.max(jnp.abs(q))
+        gamma = 1.0 / _limit(jnp.maximum(col_p, norm_q))
+        P = gamma * P
+        q = gamma * q
+        c_acc = c_acc * gamma
+        return P, q, A, d_acc, e_acc, c_acc
+
+    P, q, A, d_acc, e_acc, c_acc = jax.lax.fori_loop(
+        0, iters, body, (P, q, A, d_acc, e_acc, c_acc), unroll=True)
+    return ScaledProblem(P=P, q=q, A=A, l=e_acc * l, u=e_acc * u,
+                         d=d_acc, e=e_acc, c=c_acc)
+
+
+def _rho_vec(l: jnp.ndarray, u: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
+    """Per-constraint rho: equalities stiffened 1e3x, free rows get RHO_MIN
+    (OSQP's rho_vec construction)."""
+    eq = (u - l) < RHO_TOL
+    loose = jnp.isinf(-l) & jnp.isinf(u)
+    rv = jnp.full_like(l, rho)
+    rv = jnp.where(eq, RHO_EQ_SCALE * rho, rv)
+    rv = jnp.where(loose, RHO_MIN, rv)
+    return jnp.clip(rv, RHO_MIN, RHO_MAX)
+
+
+def _kkt_inverse(P: jnp.ndarray, A: jnp.ndarray, rho_vec: jnp.ndarray,
+                 sigma: float) -> jnp.ndarray:
+    """inv(P + sigma I + A' diag(rho) A) via Cholesky — the one
+    factorization reused across all ADMM iterations (as OSQP does)."""
+    n = P.shape[0]
+    m_mat = (P + sigma * jnp.eye(n, dtype=P.dtype)
+             + jnp.matmul(A.T * rho_vec[None, :], A, precision=_HIGH))
+    chol = jax.lax.linalg.cholesky(m_mat)
+    eye = jnp.eye(n, dtype=P.dtype)
+    inv = jax.lax.linalg.triangular_solve(
+        chol, eye, left_side=True, lower=True)
+    inv = jax.lax.linalg.triangular_solve(
+        chol, inv, left_side=True, lower=True, transpose_a=True)
+    return inv
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def admm_solve(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
+               l: jnp.ndarray, u: jnp.ndarray,
+               settings: QPSettings = QPSettings(),
+               x0: jnp.ndarray | None = None,
+               y0: jnp.ndarray | None = None,
+               rho0: jnp.ndarray | None = None) -> QPSolution:
+    """Solve the QP. ``x0``/``y0`` warm-start the (unscaled) primal/dual;
+    ``rho0`` (traced scalar) overrides the initial ADMM stepsize — pass the
+    previous solve's ``QPSolution.rho`` when iterating over a sequence of
+    similar problems."""
+    n = P.shape[0]
+    m = A.shape[0]
+    dtype = P.dtype
+    s = settings
+
+    sp = ruiz_equilibrate(P, q, A, l, u, s.scaling_iters)
+    Ps, qs, As, ls, us = sp.P, sp.q, sp.A, sp.l, sp.u
+
+    if x0 is None:
+        x = jnp.zeros((n,), dtype)
+    else:
+        x = x0 / sp.d
+    if y0 is None:
+        y = jnp.zeros((m,), dtype)
+    else:
+        y = sp.c * y0 / sp.e
+    z = jnp.clip(As @ x, ls, us)
+
+    if rho0 is None:
+        rho0 = jnp.asarray(s.rho, dtype)
+    else:
+        rho0 = jnp.asarray(rho0, dtype)
+    rho_vec = _rho_vec(ls, us, rho0)
+    minv = _kkt_inverse(Ps, As, rho_vec, s.sigma)
+
+    def admm_block(carry):
+        x, y, z, rho_vec, minv = carry
+
+        def one_iter(_, xyz):
+            x, y, z = xyz
+            rhs = s.sigma * x - qs + jnp.matmul(
+                As.T, rho_vec * z - y, precision=_HIGH)
+            xt = jnp.matmul(minv, rhs, precision=_HIGH)
+            x_next = s.alpha * xt + (1 - s.alpha) * x
+            zt = jnp.matmul(As, xt, precision=_HIGH)
+            z_pre = s.alpha * zt + (1 - s.alpha) * z
+            z_next = jnp.clip(z_pre + y / rho_vec, ls, us)
+            y_next = y + rho_vec * (z_pre - z_next)
+            return x_next, y_next, z_next
+
+        return jax.lax.fori_loop(0, s.check_every, one_iter, (x, y, z))
+
+    def unscaled_residuals(x, y, z):
+        xu = sp.d * x
+        yu = y * sp.e / sp.c
+        zu = z / sp.e
+        ax = jnp.matmul(A, xu, precision=_HIGH)
+        px = jnp.matmul(P, xu, precision=_HIGH)
+        aty = jnp.matmul(A.T, yu, precision=_HIGH)
+        rp = jnp.max(jnp.abs(ax - zu))
+        rd = jnp.max(jnp.abs(px + q + aty))
+        eps_prim = s.eps_abs + s.eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(zu)))
+        eps_dual = s.eps_abs + s.eps_rel * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(px)), jnp.max(jnp.abs(aty))),
+            jnp.max(jnp.abs(q)))
+        return rp, rd, eps_prim, eps_dual
+
+    def cond(state):
+        _, _, _, _, _, _, it, done, _, _ = state
+        return (~done) & (it < s.max_iter)
+
+    def body(state):
+        x, y, z, rho_vec, minv, rho, it, done, _, _ = state
+        x, y, z = admm_block((x, y, z, rho_vec, minv))
+        it = it + s.check_every
+        rp, rd, ep, ed = unscaled_residuals(x, y, z)
+        done = (rp <= ep) & (rd <= ed)
+
+        if s.adaptive_rho:
+            # scaled residual ratio (OSQP compute_rho_estimate)
+            ax = jnp.matmul(As, x, precision=_HIGH)
+            px = jnp.matmul(Ps, x, precision=_HIGH)
+            aty = jnp.matmul(As.T, y, precision=_HIGH)
+            div_tol = 1e-12  # division guard (OSQP-style), not _limit
+            rp_rel = jnp.max(jnp.abs(ax - z)) / jnp.maximum(jnp.maximum(
+                jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z))), div_tol)
+            rd_rel = jnp.max(jnp.abs(px + qs + aty)) / jnp.maximum(
+                jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
+                                        jnp.max(jnp.abs(aty))),
+                            jnp.max(jnp.abs(qs))), div_tol)
+            rho_new = jnp.clip(
+                rho * jnp.sqrt(rp_rel / jnp.maximum(rd_rel, div_tol)),
+                RHO_MIN, RHO_MAX)
+            change = (rho_new > ADAPTIVE_RHO_TOL * rho) | (
+                rho_new < rho / ADAPTIVE_RHO_TOL)
+            do_update = change & (~done)
+
+            def refactor(_):
+                rv = _rho_vec(ls, us, rho_new)
+                return rho_new, rv, _kkt_inverse(Ps, As, rv, s.sigma)
+
+            def keep(_):
+                return rho, rho_vec, minv
+
+            rho, rho_vec, minv = jax.lax.cond(do_update, refactor, keep, None)
+
+        return x, y, z, rho_vec, minv, rho, it, done, rp, rd
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    state = (x, y, z, rho_vec, minv, rho0, jnp.int32(0),
+             jnp.asarray(False), inf, inf)
+    x, y, z, rho_vec, minv, rho, it, done, rp, rd = jax.lax.while_loop(
+        cond, body, state)
+
+    # final rho estimate (scaled residual ratio, no 5x threshold) so callers
+    # can carry a tuned stepsize into the next warm-started solve
+    ax = jnp.matmul(As, x, precision=_HIGH)
+    px = jnp.matmul(Ps, x, precision=_HIGH)
+    aty = jnp.matmul(As.T, y, precision=_HIGH)
+    div_tol = 1e-12
+    rp_rel = jnp.max(jnp.abs(ax - z)) / jnp.maximum(jnp.maximum(
+        jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z))), div_tol)
+    rd_rel = jnp.max(jnp.abs(px + qs + aty)) / jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
+                                jnp.max(jnp.abs(aty))),
+                    jnp.max(jnp.abs(qs))), div_tol)
+    rho_est = jnp.clip(rho * jnp.sqrt(rp_rel / jnp.maximum(rd_rel, div_tol)),
+                       RHO_MIN, RHO_MAX)
+
+    return QPSolution(
+        x=sp.d * x, y=y * sp.e / sp.c, z=z / sp.e,
+        iters=it, prim_res=rp, dual_res=rd, converged=done, rho=rho_est)
+
+
+@partial(jax.jit, static_argnames=("iters", "settings"))
+def admm_solve_fixed(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
+                     l: jnp.ndarray, u: jnp.ndarray, iters: int,
+                     settings: QPSettings = QPSettings(),
+                     x0: jnp.ndarray | None = None,
+                     y0: jnp.ndarray | None = None,
+                     rho0: jnp.ndarray | None = None) -> QPSolution:
+    """Fixed-iteration variant (no early exit, no in-solve adaptation): the
+    batched throughput path. All scenarios run lock-step; iteration count is
+    chosen by the caller. The returned ``rho`` is the post-solve estimate —
+    carrying it into the next tick's ``rho0`` gives cross-tick adaptation
+    without per-solve refactorization."""
+    s = dataclasses.replace(settings, max_iter=iters, check_every=iters,
+                            adaptive_rho=False)
+    return admm_solve(P, q, A, l, u, s, x0, y0, rho0)

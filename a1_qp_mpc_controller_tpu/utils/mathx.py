@@ -1,0 +1,102 @@
+"""Small math utilities (reference: utils/Utils.{h,cpp}).
+
+All functions are pure jnp, shape-static, and written to vmap cleanly over a
+leading batch axis.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_to_euler(quat: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (w,x,y,z) -> (roll, pitch, yaw), yaw in (-pi, pi].
+
+    Same convention as the reference (Utils.cpp:7-33), which deliberately
+    avoids Eigen's ``eulerAngles`` 0..pi yaw range (test_rotation.cpp).
+    """
+    w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    y_sqr = y * y
+    t0 = 2.0 * (w * x + y * z)
+    t1 = 1.0 - 2.0 * (x * x + y_sqr)
+    roll = jnp.arctan2(t0, t1)
+    t2 = jnp.clip(2.0 * (w * y - z * x), -1.0, 1.0)
+    pitch = jnp.arcsin(t2)
+    t3 = 2.0 * (w * z + x * y)
+    t4 = 1.0 - 2.0 * (y_sqr + z * z)
+    yaw = jnp.arctan2(t3, t4)
+    return jnp.stack([roll, pitch, yaw], axis=-1)
+
+
+def quat_to_rot(quat: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion (w,x,y,z) -> 3x3 rotation matrix (body -> world)."""
+    w, x, y, z = quat[..., 0], quat[..., 1], quat[..., 2], quat[..., 3]
+    ww, xx, yy, zz = w * w, x * x, y * y, z * z
+    wx, wy, wz = w * x, w * y, w * z
+    xy, xz, yz = x * y, x * z, y * z
+    r = jnp.stack([
+        jnp.stack([ww + xx - yy - zz, 2 * (xy - wz), 2 * (xz + wy)], -1),
+        jnp.stack([2 * (xy + wz), ww - xx + yy - zz, 2 * (yz - wx)], -1),
+        jnp.stack([2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz], -1),
+    ], axis=-2)
+    return r
+
+
+def euler_to_quat(euler: jnp.ndarray) -> jnp.ndarray:
+    """(roll, pitch, yaw) -> quaternion (w,x,y,z), R = Rz(yaw)Ry(pitch)Rx(roll)."""
+    hr, hp, hy = euler[..., 0] / 2, euler[..., 1] / 2, euler[..., 2] / 2
+    cr, sr = jnp.cos(hr), jnp.sin(hr)
+    cp, sp = jnp.cos(hp), jnp.sin(hp)
+    cy, sy = jnp.cos(hy), jnp.sin(hy)
+    w = cr * cp * cy + sr * sp * sy
+    x = sr * cp * cy - cr * sp * sy
+    y = cr * sp * cy + sr * cp * sy
+    z = cr * cp * sy - sr * sp * cy
+    return jnp.stack([w, x, y, z], axis=-1)
+
+
+def rot_z(yaw: jnp.ndarray) -> jnp.ndarray:
+    """Yaw-only rotation matrix (reference: AngleAxisd(yaw, UnitZ),
+    GazeboA1ROS.cpp:262)."""
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    return jnp.stack([
+        jnp.stack([c, -s, zero], -1),
+        jnp.stack([s, c, zero], -1),
+        jnp.stack([zero, zero, one], -1),
+    ], axis=-2)
+
+
+def skew(v: jnp.ndarray) -> jnp.ndarray:
+    """3-vector -> skew-symmetric matrix (Utils.cpp:35-41); batches over
+    leading axes."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack([
+        jnp.stack([zero, -z, y], -1),
+        jnp.stack([z, zero, -x], -1),
+        jnp.stack([-y, x, zero], -1),
+    ], axis=-2)
+
+
+def pseudo_inverse_3x3(m: jnp.ndarray, rcond: float = 1e-6) -> jnp.ndarray:
+    """SVD pseudo-inverse of a 3x3 (Utils.cpp:44-52)."""
+    return jnp.linalg.pinv(m, rtol=rcond)
+
+
+def cal_dihedral_angle(n1: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndarray:
+    """Unsigned angle between two plane normals (Utils.cpp:54-62)."""
+    cos_a = jnp.abs(jnp.sum(n1 * n2, axis=-1)) / (
+        jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1))
+    return jnp.arccos(jnp.clip(cos_a, -1.0, 1.0))
+
+
+def wrap_yaw_error(err: jnp.ndarray, desired: jnp.ndarray,
+                   actual: jnp.ndarray) -> jnp.ndarray:
+    """Reference's yaw-wrap guard (A1RobotControl.cpp:328-332): if the raw yaw
+    error exceeds 1.5*pi, re-reference desired yaw by +-2*pi."""
+    pi = 3.1415926
+    err = jnp.where(err > pi * 1.5, desired - 2 * pi - actual, err)
+    err = jnp.where(err < -pi * 1.5, desired + 2 * pi - actual, err)
+    return err
