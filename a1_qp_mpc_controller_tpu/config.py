@@ -103,6 +103,9 @@ class A1Config:
     counter_per_swing: float = 120.0
     # EKF measurement model: flat-ground foot-height rows enabled
     assume_flat_ground: bool = True
+    # False = ground-truth root feed (the Isaac adapter's gt-pose mode,
+    # IsaacA1ROS.cpp:189; used for pure-controller trajectory validation)
+    use_estimator: bool = True
     # ADMM solver iteration budgets (see ops/qp.py)
     mpc_qp_iters: int = 100
     stand_qp_iters: int = 100

@@ -1,0 +1,87 @@
+"""Top-level control tick: the functional composition of the reference's two
+400 Hz threads + async callbacks (SURVEY.md §3).
+
+One jitted, vmappable function runs per control period:
+
+    sensors -> ingest -> joystick/FSM -> gait plan -> swing ctrl
+            -> state estimation (EKF) -> GRF solve (QP or MPC)
+            -> joint torques
+
+The reference splits this across Thread 1 (compute_grf), Thread 2
+(main_update + send_cmd) and a 12-thread callback spinner mutating one
+shared blackboard; since both threads run at the same 2.5 ms period
+(A1Params.h:10-11), the deterministic serialization below computes the same
+quantities once per tick with no races. A dual-rate schedule (separate
+``grf_step`` / ``main_step``) is exposed for latency benchmarking.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from a1_qp_mpc_controller_tpu.config import A1Config, RobotParams
+from a1_qp_mpc_controller_tpu.control import fsm, gait, grf, swing, torque
+from a1_qp_mpc_controller_tpu.control.ingest import ingest_sensors
+from a1_qp_mpc_controller_tpu.models import estimator
+from a1_qp_mpc_controller_tpu.types import (
+    CtrlMem, CtrlState, JoyCmd, SensorData,
+)
+
+
+def control_tick(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                 mem: CtrlMem, sensors: SensorData, joy: JoyCmd,
+                 dt: jnp.ndarray) -> Tuple[CtrlState, CtrlMem, jnp.ndarray]:
+    """Full control step. Returns (state, memory, joint torques (12,))."""
+    cs, mem = ingest_sensors(cfg, params, cs, mem, sensors)
+    if not cfg.use_estimator:
+        # ground-truth root feed (Isaac gt-pose mode, IsaacA1ROS.cpp:189)
+        cs = cs.replace(root_pos=sensors.root_pos,
+                        root_lin_vel=sensors.root_lin_vel)
+    cs = fsm.joystick_update(cfg, params, cs, joy, dt)
+    cs = gait.update_plan(cfg, params, cs, dt)
+    cs, mem = swing.generate_swing_legs_ctrl(cfg, params, cs, mem, dt)
+    if cfg.use_estimator:
+        ekf, cs = estimator.step(cfg, params, cs, mem.ekf, dt)
+        mem = mem.replace(ekf=ekf)
+    cs, mem = grf.compute_grf(cfg, params, cs, mem, dt)
+    cs, mem = torque.compute_joint_torques(cfg, params, cs, mem)
+    return cs, mem, cs.joint_torques
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def control_tick_jit(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                     mem: CtrlMem, sensors: SensorData, joy: JoyCmd,
+                     dt: jnp.ndarray):
+    return control_tick(cfg, params, cs, mem, sensors, joy, dt)
+
+
+# --- dual-rate decomposition (mirrors the reference's thread split) -------
+
+def main_step(cfg: A1Config, params: RobotParams, cs: CtrlState,
+              mem: CtrlMem, sensors: SensorData, joy: JoyCmd,
+              dt: jnp.ndarray):
+    """Thread-2 work: ingest, FSM, plan, swing, estimate, torques
+    (MainGazebo.cpp:86-119). Uses the most recent GRF solution in
+    ``cs.foot_forces_grf``."""
+    cs, mem = ingest_sensors(cfg, params, cs, mem, sensors)
+    cs = fsm.joystick_update(cfg, params, cs, joy, dt)
+    cs = gait.update_plan(cfg, params, cs, dt)
+    cs, mem = swing.generate_swing_legs_ctrl(cfg, params, cs, mem, dt)
+    ekf, cs = estimator.step(cfg, params, cs, mem.ekf, dt)
+    mem = mem.replace(ekf=ekf)
+    cs, mem = torque.compute_joint_torques(cfg, params, cs, mem)
+    return cs, mem, cs.joint_torques
+
+
+def grf_step(cfg: A1Config, params: RobotParams, cs: CtrlState,
+             mem: CtrlMem, dt: jnp.ndarray):
+    """Thread-1 work: the stance-force solve (MainGazebo.cpp:47-80)."""
+    return grf.compute_grf(cfg, params, cs, mem, dt)
+
+
+main_step_jit = partial(jax.jit, static_argnames=("cfg",))(main_step)
+grf_step_jit = partial(jax.jit, static_argnames=("cfg",))(grf_step)

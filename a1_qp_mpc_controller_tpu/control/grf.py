@@ -1,0 +1,208 @@
+"""Stance-force computation: terrain adaptation + QP balance controller +
+convex-MPC driver.
+
+Functional re-design of ``A1RobotControl::compute_grf``
+(A1RobotControl.cpp:321-564) and ``compute_walking_surface`` (:566-582).
+Which path runs (0: stand QP, 1: MPC) is a *static* config choice, mirroring
+the reference's launch-time ``stance_leg_control_type``; the jitted tick
+contains exactly one solver.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from a1_qp_mpc_controller_tpu.config import (
+    A1Config, GRAVITY, NUM_LEG, RobotParams,
+)
+from a1_qp_mpc_controller_tpu.models import srb
+from a1_qp_mpc_controller_tpu.ops import qp as qpx
+from a1_qp_mpc_controller_tpu.types import CtrlMem, CtrlState
+from a1_qp_mpc_controller_tpu.utils import mathx
+from a1_qp_mpc_controller_tpu.utils.filters import filter_update_masked
+
+# initial ADMM stepsize for the MPC problem family (after Ruiz scaling);
+# adapted per-solve / carried across ticks thereafter
+_MPC_RHO0 = 1e-4
+_QP_RHO0 = 0.1
+
+
+def compute_walking_surface(cs: CtrlState) -> jnp.ndarray:
+    """LS plane fit z = a0 + a1 x + a2 y over the 4 recent contact points;
+    returns the plane normal coefficient vector [a1, a2, -1]
+    (A1RobotControl.cpp:566-582)."""
+    w = jnp.concatenate([jnp.ones((NUM_LEG, 1), cs.foot_pos_abs.dtype),
+                         cs.foot_pos_recent_contact[:, :2]], axis=1)
+    z = cs.foot_pos_recent_contact[:, 2]
+    a = mathx.pseudo_inverse_3x3(w.T @ w) @ (w.T @ z)
+    return jnp.stack([a[1], a[2], -jnp.ones((), a.dtype)])
+
+
+def terrain_adaptation(cfg: A1Config, cs: CtrlState, mem: CtrlMem
+                       ) -> Tuple[CtrlState, CtrlMem]:
+    """Estimate terrain pitch and (optionally) overwrite desired pitch
+    (A1RobotControl.cpp:334-375). MPC path only."""
+    surf_coef = compute_walking_surface(cs)
+    flat = jnp.array([0.0, 0.0, 1.0], surf_coef.dtype)
+    raw_angle = mathx.cal_dihedral_angle(flat, surf_coef)
+    body_high = cs.root_pos[2] > 0.1
+    t_filter, avg = filter_update_masked(mem.terrain_angle_filter, raw_angle,
+                                         body_high)
+    terrain_angle = jnp.where(body_high, avg, 0.0)
+    terrain_angle = jnp.clip(terrain_angle, -0.5, 0.5)
+
+    # front-vs-rear height difference decides the pitch sign
+    z = cs.foot_pos_recent_contact[:, 2]
+    f_r_diff = z[0] + z[1] - z[2] - z[3]
+    pitch_d = jnp.where(f_r_diff > 0.05, -terrain_angle, terrain_angle)
+    if cfg.use_terrain_adapt:
+        root_euler_d = cs.root_euler_d.at[1].set(pitch_d)
+    else:
+        root_euler_d = cs.root_euler_d
+    cs = cs.replace(root_euler_d=root_euler_d,
+                    terrain_pitch_angle=terrain_angle)
+    return cs, mem.replace(terrain_angle_filter=t_filter)
+
+
+def _euler_error(cs: CtrlState) -> jnp.ndarray:
+    err = cs.root_euler_d - cs.root_euler
+    yaw_err = mathx.wrap_yaw_error(err[2], cs.root_euler_d[2],
+                                   cs.root_euler[2])
+    return err.at[2].set(yaw_err)
+
+
+def stand_qp_matrices(params: RobotParams, cs: CtrlState):
+    """Build the 12-var stand QP (A1RobotControl.cpp:377-431)."""
+    dtype = cs.root_pos.dtype
+    euler_error = _euler_error(cs)
+
+    # desired 6-DoF root acceleration from PD (A1RobotControl.cpp:379-391)
+    lin = params.kp_linear * (cs.root_pos_d - cs.root_pos)
+    lin = lin + cs.root_rot_mat @ (params.kd_linear * (
+        cs.root_lin_vel_d - cs.root_rot_mat.T @ cs.root_lin_vel))
+    ang = params.kp_angular * euler_error
+    ang = ang + params.kd_angular * (
+        cs.root_ang_vel_d - cs.root_rot_mat.T @ cs.root_ang_vel)
+    root_acc = jnp.concatenate([lin, ang])
+    root_acc = root_acc.at[2].add(params.robot_mass * GRAVITY)
+
+    # inertia_inv (6,12): [I3; Rz' skew(r_i)]  (A1RobotControl.cpp:394-399)
+    top = jnp.tile(jnp.eye(3, dtype=dtype), (1, NUM_LEG))
+    # (a, l, c) = Rz'[.,a->b] skew(r_l)[b,c]; columns grouped per leg
+    bottom = jnp.einsum("ba,lbc->alc", cs.root_rot_mat_z,
+                        mathx.skew(cs.foot_pos_abs)).reshape(3, NUM_LEG * 3)
+    m_mat = jnp.concatenate([top, bottom], axis=0)
+
+    q_diag = params.qp_q_weights
+    p_mat = params.qp_r_weight * jnp.eye(12, dtype=dtype) + \
+        m_mat.T @ (q_diag[:, None] * m_mat)
+    q_vec = -(m_mat.T @ (q_diag * root_acc))
+    return p_mat, q_vec
+
+
+def stand_qp_constraints(params: RobotParams, cs: CtrlState):
+    """(20,12) constraint matrix + contact-gated bounds
+    (A1RobotControl.cpp:28-48, 409-413)."""
+    dtype = cs.root_pos.dtype
+    mu = params.mu_qp
+    a = jnp.zeros((20, 12), dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    lb = jnp.zeros(20, dtype)
+    ub = jnp.zeros(20, dtype)
+    c = cs.contacts.astype(dtype)
+    for i in range(NUM_LEG):
+        a = a.at[i, 2 + 3 * i].set(1.0)
+        base = NUM_LEG + 4 * i
+        a = a.at[base, 3 * i].set(1.0)
+        a = a.at[base, 2 + 3 * i].set(-mu)
+        a = a.at[base + 1, 3 * i].set(-1.0)
+        a = a.at[base + 1, 2 + 3 * i].set(-mu)
+        a = a.at[base + 2, 1 + 3 * i].set(1.0)
+        a = a.at[base + 2, 2 + 3 * i].set(-mu)
+        a = a.at[base + 3, 1 + 3 * i].set(-1.0)
+        a = a.at[base + 3, 2 + 3 * i].set(-mu)
+        lb = lb.at[NUM_LEG + 4 * i:NUM_LEG + 4 * i + 4].set(-inf)
+    lb = lb.at[:NUM_LEG].set(c * params.fz_min)
+    ub = ub.at[:NUM_LEG].set(c * params.fz_max)
+    return a, lb, ub
+
+
+def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                mem: CtrlMem, dt: jnp.ndarray
+                ) -> Tuple[CtrlState, CtrlMem]:
+    """The per-tick stance-force solve. Returns body-frame GRFs in
+    ``cs.foot_forces_grf`` and updated solver memory."""
+    dtype = cs.root_pos.dtype
+
+    if cfg.stance_leg_control_type == 1:
+        cs, mem = terrain_adaptation(cfg, cs, mem)
+
+    if cfg.stance_leg_control_type == 0:
+        # --- stand QP path: fresh solver, no warm start
+        #     (A1RobotControl.cpp:416-431)
+        p_mat, q_vec = stand_qp_matrices(params, cs)
+        a_mat, lb, ub = stand_qp_constraints(params, cs)
+        sol = qpx.admm_solve(
+            p_mat, q_vec, a_mat, lb, ub,
+            qpx.QPSettings(rho=_QP_RHO0, eps_abs=1e-4, eps_rel=1e-4,
+                           max_iter=cfg.stand_qp_iters * 10,
+                           check_every=cfg.qp_check_every))
+        forces_world = sol.x.reshape(NUM_LEG, 3)
+    else:
+        # --- convex MPC path (A1RobotControl.cpp:446-561)
+        mpc_states = jnp.concatenate([
+            cs.root_euler, cs.root_pos, cs.root_ang_vel, cs.root_lin_vel,
+            jnp.asarray([-GRAVITY], dtype)])
+        # sim integrates with the measured dt; hardware pins 2.5 ms
+        # (A1RobotControl.cpp:458-467)
+        mpc_dt = dt if cfg.use_sim_time else jnp.asarray(0.0025, dtype)
+
+        lin_vel_d_world = cs.root_rot_mat @ cs.root_lin_vel_d
+        x_ref = srb.build_reference_trajectory(
+            cs.root_euler, cs.root_pos, cs.root_pos_d, cs.root_euler_d,
+            cs.root_ang_vel_d, lin_vel_d_world, mpc_dt, cfg.horizon)
+
+        a_c = srb.continuous_a(cs.root_euler)
+        b_c = srb.continuous_b(params.robot_mass, params.trunk_inertia,
+                               cs.root_rot_mat, cs.foot_pos_abs)
+        _, b_d = srb.discretize(a_c, b_c, mpc_dt)
+        # production path: one B for the whole horizon
+        # (A1RobotControl.cpp:498-514)
+        b_d_list = jnp.broadcast_to(b_d, (cfg.horizon,) + b_d.shape)
+        a_qp, b_qp = srb.condense(a_c, b_d_list, mpc_dt, cfg.horizon)
+        p_mat, q_vec = srb.mpc_cost(a_qp, b_qp, params.q_weights,
+                                    params.r_weights, mpc_states, x_ref,
+                                    cfg.horizon)
+        a_mat = srb.friction_constraint_matrix(params.mu_mpc, cfg.horizon,
+                                               dtype)
+        lb, ub = srb.mpc_bounds(cs.contacts, params.fz_min, params.fz_max,
+                                cfg.horizon, dtype)
+
+        # warm-started fixed-iteration solve with cross-tick rho carry —
+        # the deterministic equivalent of the reference's persistent
+        # warm-started OSQP instance (A1RobotControl.cpp:522-540)
+        warm_x = jnp.where(mem.mpc_warm_started, mem.mpc_warm_x,
+                           jnp.zeros_like(mem.mpc_warm_x))
+        warm_y = jnp.where(mem.mpc_warm_started, mem.mpc_warm_y,
+                           jnp.zeros_like(mem.mpc_warm_y))
+        rho0 = jnp.where(mem.mpc_warm_started, mem.mpc_rho,
+                         jnp.asarray(_MPC_RHO0, dtype))
+        sol = qpx.admm_solve(
+            p_mat, q_vec, a_mat, lb, ub,
+            qpx.QPSettings(rho=_MPC_RHO0, eps_abs=1e-5, eps_rel=1e-5,
+                           max_iter=cfg.mpc_qp_iters,
+                           check_every=cfg.qp_check_every),
+            x0=warm_x, y0=warm_y, rho0=rho0)
+        mem = mem.replace(mpc_warm_x=sol.x, mpc_warm_y=sol.y,
+                          mpc_rho=sol.rho,
+                          mpc_warm_started=jnp.asarray(True))
+        forces_world = sol.x[:12].reshape(NUM_LEG, 3)
+
+    # world -> body frame + per-leg NaN guard
+    # (A1RobotControl.cpp:439-444, 555-561)
+    forces_body = jnp.einsum("ba,lb->la", cs.root_rot_mat, forces_world)
+    bad = jnp.isnan(jnp.sum(forces_body, axis=1))
+    forces_body = jnp.where(bad[:, None], cs.foot_forces_grf, forces_body)
+    return cs.replace(foot_forces_grf=forces_body), mem

@@ -1,0 +1,168 @@
+"""Proprioceptive Kalman filter: 18-state, 28-measurement linear KF fusing
+IMU acceleration with leg odometry.
+
+Functional re-design of ``A1BasicEKF`` (A1BasicEKF.{h,cpp}):
+
+- state (18): body pos (3), body vel (3), 4x world foot pos (12)
+- measurements (28): 4x FK position residual (12), 4x leg-odometry velocity
+  (12), 4x foot height (4)
+- contact-probability-weighted process/measurement noise: non-contact legs
+  get (1 + 1e3) x noise (A1BasicEKF.cpp:88-107)
+- innovation solves via Cholesky (S is symmetrized PD; the reference uses
+  fullPivHouseholderQr, A1BasicEKF.cpp:134-138)
+- xy-drift covariance clamp (A1BasicEKF.cpp:143-147)
+
+The filter is a pure function over :class:`EKFState`; lazy first-tick
+initialization (the reference's ``is_inited`` check, GazeboA1ROS.cpp:194-198)
+is a ``jnp.where`` on the ``initialized`` flag so the whole thing stays
+branch-free under jit/vmap.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from a1_qp_mpc_controller_tpu.config import A1Config, NUM_LEG, RobotParams
+from a1_qp_mpc_controller_tpu.types import CtrlState, EKFState
+from a1_qp_mpc_controller_tpu.utils.mathx import skew
+
+# noise parameters (A1BasicEKF.h:16-21)
+PROCESS_NOISE_PIMU = 0.01
+PROCESS_NOISE_VIMU = 0.01
+PROCESS_NOISE_PFOOT = 0.01
+SENSOR_NOISE_PIMU_REL_FOOT = 0.001
+SENSOR_NOISE_VIMU_REL_FOOT = 0.1
+SENSOR_NOISE_ZFOOT = 0.001
+
+STATE_SIZE = 18
+MEAS_SIZE = 28
+
+
+def observation_matrix(dtype=jnp.float32) -> jnp.ndarray:
+    """Fixed C (28,18) (A1BasicEKF.cpp:11-17)."""
+    c = jnp.zeros((MEAS_SIZE, STATE_SIZE), dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    for i in range(NUM_LEG):
+        c = c.at[i * 3:i * 3 + 3, 0:3].set(-eye3)
+        c = c.at[i * 3:i * 3 + 3, 6 + i * 3:9 + i * 3].set(eye3)
+        c = c.at[12 + i * 3:15 + i * 3, 3:6].set(eye3)
+        c = c.at[24 + i, 6 + i * 3 + 2].set(1.0)
+    return c
+
+
+def init_state(cs: CtrlState, dtype=jnp.float32) -> EKFState:
+    """A1BasicEKF::init_state (A1BasicEKF.cpp:55-68): body starts at
+    z=0.09 m, feet from FK."""
+    x = jnp.zeros(STATE_SIZE, dtype)
+    root0 = jnp.array([0.0, 0.0, 0.09], dtype)
+    x = x.at[0:3].set(root0)
+    feet = jnp.einsum("ab,lb->la", cs.root_rot_mat,
+                      cs.foot_pos_rel) + root0[None, :]
+    x = x.at[6:].set(feet.reshape(-1))
+    return EKFState(x=x, P=3.0 * jnp.eye(STATE_SIZE, dtype=dtype),
+                    initialized=jnp.asarray(True))
+
+
+def update(cfg: A1Config, cs: CtrlState, ekf: EKFState, dt: jnp.ndarray
+           ) -> Tuple[EKFState, CtrlState]:
+    """One predict+update step (A1BasicEKF::update_estimation,
+    A1BasicEKF.cpp:70-164). Writes estimated root pos/vel back into the
+    controller state, as the reference does (:159-163)."""
+    dtype = ekf.x.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye18 = jnp.eye(STATE_SIZE, dtype=dtype)
+
+    a_mat = eye18.at[0:3, 3:6].set(dt * eye3)
+    u = cs.root_rot_mat @ cs.imu_acc + jnp.array([0.0, 0.0, -9.81], dtype)
+
+    # contact probability from foot force (A1BasicEKF.cpp:79-86)
+    contact_w = jnp.where(cs.movement_mode == 0,
+                          jnp.ones(NUM_LEG, dtype),
+                          jnp.clip(cs.foot_force / 100.0, 0.0, 1.0))
+    infl = 1.0 + (1.0 - contact_w) * 1e3  # (4,)
+
+    # process noise Q (A1BasicEKF.cpp:88-95)
+    q_diag = jnp.concatenate([
+        jnp.full((3,), PROCESS_NOISE_PIMU * dt / 20.0, dtype),
+        jnp.full((3,), PROCESS_NOISE_VIMU * dt * 9.8 / 20.0, dtype),
+        (jnp.repeat(infl, 3) * dt * PROCESS_NOISE_PFOOT),
+    ])
+    # measurement noise R (A1BasicEKF.cpp:98-106)
+    r_diag = jnp.concatenate([
+        jnp.repeat(infl, 3) * SENSOR_NOISE_PIMU_REL_FOOT,
+        jnp.repeat(infl, 3) * SENSOR_NOISE_VIMU_REL_FOOT,
+        (infl * SENSOR_NOISE_ZFOOT) if cfg.assume_flat_ground
+        else jnp.full((NUM_LEG,), 1e5, dtype),
+    ])
+
+    # process update
+    xbar = a_mat @ ekf.x
+    xbar = xbar.at[3:6].add(dt * u)
+    pbar = a_mat @ ekf.P @ a_mat.T + jnp.diag(q_diag)
+
+    # measurement construction (A1BasicEKF.cpp:115-128)
+    c_mat = observation_matrix(dtype)
+    yhat = c_mat @ xbar
+    fk_pos = cs.foot_pos_rel  # (4,3)
+    y_fk = jnp.einsum("ab,lb->la", cs.root_rot_mat, fk_pos)
+    leg_v = -cs.foot_vel_rel - jnp.einsum(
+        "ab,lb->la", skew(cs.imu_ang_vel), fk_pos)
+    y_vel = ((1.0 - contact_w)[:, None] * ekf.x[3:6][None, :]
+             + contact_w[:, None] * jnp.einsum("ab,lb->la",
+                                               cs.root_rot_mat, leg_v))
+    y_height = (1.0 - contact_w) * (ekf.x[2] + fk_pos[:, 2])
+    y = jnp.concatenate([y_fk.reshape(-1), y_vel.reshape(-1), y_height])
+
+    s_mat = c_mat @ pbar @ c_mat.T + jnp.diag(r_diag)
+    s_mat = 0.5 * (s_mat + s_mat.T)
+    chol = jax.lax.linalg.cholesky(s_mat)
+    solve = lambda b: jax.lax.linalg.triangular_solve(
+        chol, jax.lax.linalg.triangular_solve(
+            chol, b, left_side=True, lower=True),
+        left_side=True, lower=True, transpose_a=True)
+
+    err_y = y - yhat
+    serr = solve(err_y[:, None])[:, 0]
+    x_new = xbar + pbar @ (c_mat.T @ serr)
+
+    sc = solve(c_mat)
+    p_new = pbar - pbar @ c_mat.T @ sc @ pbar
+    p_new = 0.5 * (p_new + p_new.T)
+
+    # xy-drift covariance clamp (A1BasicEKF.cpp:143-147)
+    det2 = (p_new[0, 0] * p_new[1, 1] - p_new[0, 1] * p_new[1, 0])
+    clamp = det2 > 1e-6
+    p_clamped = p_new.at[0:2, 2:].set(0.0).at[2:, 0:2].set(0.0)
+    p_clamped = p_clamped.at[0:2, 0:2].multiply(0.1)
+    p_new = jnp.where(clamp, p_clamped, p_new)
+
+    new = EKFState(x=x_new, P=p_new, initialized=jnp.asarray(True))
+
+    cs = cs.replace(
+        estimated_contacts=contact_w >= 0.5,
+        estimated_root_pos=x_new[0:3],
+        estimated_root_vel=x_new[3:6],
+        root_pos=x_new[0:3],
+        root_lin_vel=x_new[3:6],
+    )
+    return new, cs
+
+
+def step(cfg: A1Config, params: RobotParams, cs: CtrlState, ekf: EKFState,
+         dt: jnp.ndarray) -> Tuple[EKFState, CtrlState]:
+    """Lazy-init-or-update, branch-free (mirrors the adapter's is_inited
+    pattern)."""
+    fresh = init_state(cs, cs.root_pos.dtype)
+    upd_ekf, upd_cs = update(cfg, cs, ekf, dt)
+    inited = ekf.initialized
+
+    def pick(a, b):
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.where(inited, x, y), a, b)
+
+    out_ekf = pick(upd_ekf, fresh)
+    out_cs = pick(upd_cs, cs)
+    return out_ekf, out_cs

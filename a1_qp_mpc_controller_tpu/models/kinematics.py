@@ -118,4 +118,13 @@ def ik(p_target: jnp.ndarray, rho_opt: jnp.ndarray, rho_fix: jnp.ndarray,
     return q
 
 
-ik_all_legs = jax.vmap(ik, in_axes=(0, 0, 0, None, None))
+def ik_all_legs(p_targets: jnp.ndarray, rho_opt: jnp.ndarray,
+                rho_fix: jnp.ndarray, q0: jnp.ndarray | None = None,
+                iters: int = 12) -> jnp.ndarray:
+    """Per-leg IK: (4,3) targets (+ optional (4,3) warm start) -> (4,3)
+    joint angles."""
+    if q0 is None:
+        q0 = jnp.broadcast_to(jnp.array([0.0, 0.75, -1.5], p_targets.dtype),
+                              p_targets.shape)
+    return jax.vmap(ik, in_axes=(0, 0, 0, 0, None))(
+        p_targets, rho_opt, rho_fix, q0, iters)

@@ -18,7 +18,9 @@ from a1_qp_mpc_controller_tpu.config import (
     NUM_LEG, NUM_DOF, MPC_STATE_DIM, PLAN_HORIZON, A1Config, RobotParams,
     IMU_FILTER_WINDOW, RECENT_CONTACT_FILTER_WINDOW, TERRAIN_FILTER_WINDOW,
 )
-from a1_qp_mpc_controller_tpu.utils.filters import WindowFilter, make_filter
+from a1_qp_mpc_controller_tpu.utils.filters import (
+    WindowFilter, make_filter, make_filter_bank,
+)
 
 
 class SensorData(struct.PyTreeNode):
@@ -226,11 +228,13 @@ class CtrlMem(struct.PyTreeNode):
     MPC tick counter, and the EKF carry."""
 
     terrain_angle_filter: WindowFilter          # window 100, scalar
-    recent_contact_filter: WindowFilter         # window 60, (4,3) channels
+    recent_contact_filter: WindowFilter         # 4 independent (3,)-channel
+    #                                             filters, window 60
     imu_acc_filter: WindowFilter                # window 5, (3,)
     imu_gyro_filter: WindowFilter               # window 5, (3,)
     mpc_warm_x: jnp.ndarray                     # (120,) primal warm start
     mpc_warm_y: jnp.ndarray                     # (200,) dual warm start
+    mpc_rho: jnp.ndarray                        # () carried ADMM stepsize
     mpc_warm_started: jnp.ndarray               # () bool
     tick: jnp.ndarray                           # () int32 (mpc_init_counter)
     ekf: EKFState
@@ -241,12 +245,13 @@ class CtrlMem(struct.PyTreeNode):
         nc = 5 * NUM_LEG * cfg.horizon
         return cls(
             terrain_angle_filter=make_filter((), TERRAIN_FILTER_WINDOW, dtype),
-            recent_contact_filter=make_filter(
-                (NUM_LEG, 3), RECENT_CONTACT_FILTER_WINDOW, dtype),
+            recent_contact_filter=make_filter_bank(
+                NUM_LEG, (3,), RECENT_CONTACT_FILTER_WINDOW, dtype),
             imu_acc_filter=make_filter((3,), IMU_FILTER_WINDOW, dtype),
             imu_gyro_filter=make_filter((3,), IMU_FILTER_WINDOW, dtype),
             mpc_warm_x=jnp.zeros((nv,), dtype),
             mpc_warm_y=jnp.zeros((nc,), dtype),
+            mpc_rho=jnp.asarray(1e-4, dtype),
             mpc_warm_started=jnp.asarray(False),
             tick=jnp.int32(0),
             ekf=EKFState(x=jnp.zeros((18,), dtype),

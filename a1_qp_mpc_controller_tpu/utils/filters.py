@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -67,3 +68,31 @@ def filter_update(f: WindowFilter, x: jnp.ndarray
     count = jnp.minimum(f.count + 1, window).astype(jnp.int32)
     avg = (acc + corr) / count.astype(f.buf.dtype)
     return WindowFilter(buf=buf, idx=idx, count=count, acc=acc, corr=corr), avg
+
+
+def filter_update_masked(f: WindowFilter, x: jnp.ndarray, push: jnp.ndarray
+                         ) -> Tuple[WindowFilter, jnp.ndarray]:
+    """Conditionally push: when ``push`` (scalar bool) is False, the filter
+    state is unchanged and the current average is returned (matching the
+    reference pattern of only calling CalculateAverage under a condition,
+    e.g. recent-contact positions only while the foot touches ground —
+    A1RobotControl.cpp:274-281)."""
+    f2, avg2 = filter_update(f, x)
+    f_out = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(push, new, old), f2, f)
+    cur_avg = (f.acc + f.corr) / jnp.maximum(f.count, 1).astype(f.buf.dtype)
+    avg = jnp.where(push, avg2, cur_avg)
+    return f_out, avg
+
+
+# per-leg independent filters: every field carries a leading (legs,) axis
+filter_update_per_leg = jax.vmap(filter_update_masked)
+
+
+def make_filter_bank(n: int, channel_shape: Tuple[int, ...], window: int,
+                     dtype=jnp.float32) -> WindowFilter:
+    """n independent filters (leading batch axis on every field), for use
+    with :func:`filter_update_per_leg`."""
+    f = make_filter(channel_shape, window, dtype)
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,) + a.shape), f)
