@@ -110,6 +110,10 @@ class A1Config:
     mpc_qp_iters: int = 100
     stand_qp_iters: int = 100
     qp_check_every: int = 25
+    # 'adaptive': early-exit while_loop with in-solve rho adaptation (lowest
+    # latency single-scenario). 'fixed': lock-step fixed-iteration solve
+    # with cross-tick warm-start + rho carry (batched throughput path).
+    mpc_solver_mode: str = "adaptive"
     # number of warm-up ticks emitting zero torque (A1RobotControl.cpp:292-295)
     torque_warmup_ticks: int = 10
 

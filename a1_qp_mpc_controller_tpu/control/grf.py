@@ -189,12 +189,18 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                            jnp.zeros_like(mem.mpc_warm_y))
         rho0 = jnp.where(mem.mpc_warm_started, mem.mpc_rho,
                          jnp.asarray(_MPC_RHO0, dtype))
-        sol = qpx.admm_solve(
-            p_mat, q_vec, a_mat, lb, ub,
-            qpx.QPSettings(rho=_MPC_RHO0, eps_abs=1e-5, eps_rel=1e-5,
-                           max_iter=cfg.mpc_qp_iters,
-                           check_every=cfg.qp_check_every),
-            x0=warm_x, y0=warm_y, rho0=rho0)
+        if cfg.mpc_solver_mode == "fixed":
+            sol = qpx.admm_solve_fixed(
+                p_mat, q_vec, a_mat, lb, ub, cfg.mpc_qp_iters,
+                qpx.QPSettings(rho=_MPC_RHO0),
+                x0=warm_x, y0=warm_y, rho0=rho0)
+        else:
+            sol = qpx.admm_solve(
+                p_mat, q_vec, a_mat, lb, ub,
+                qpx.QPSettings(rho=_MPC_RHO0, eps_abs=1e-5, eps_rel=1e-5,
+                               max_iter=cfg.mpc_qp_iters,
+                               check_every=cfg.qp_check_every),
+                x0=warm_x, y0=warm_y, rho0=rho0)
         mem = mem.replace(mpc_warm_x=sol.x, mpc_warm_y=sol.y,
                           mpc_rho=sol.rho,
                           mpc_warm_started=jnp.asarray(True))

@@ -58,6 +58,10 @@ class QPSettings:
     check_every: int = 25
     scaling_iters: int = 10
     adaptive_rho: bool = True
+    # unroll factor for the inner ADMM iteration loop: each iteration is a
+    # handful of small kernels, so on TPU the loop is launch-bound;
+    # unrolling lets XLA fuse/pipeline consecutive iterations
+    unroll: int = 5
 
 
 class QPSolution(struct.PyTreeNode):
@@ -210,7 +214,8 @@ def admm_solve(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
             y_next = y + rho_vec * (z_pre - z_next)
             return x_next, y_next, z_next
 
-        return jax.lax.fori_loop(0, s.check_every, one_iter, (x, y, z))
+        return jax.lax.fori_loop(0, s.check_every, one_iter, (x, y, z),
+                                 unroll=min(s.unroll, s.check_every))
 
     def unscaled_residuals(x, y, z):
         xu = sp.d * x

@@ -1,0 +1,132 @@
+"""Batched, sharded closed-loop evaluation: the pod-scale execution profile.
+
+Domain randomization (mass / inertia / friction / gains / gait / terrain,
+per BASELINE.json config 5) produces a batch of scenarios; the whole
+controller+plant loop is vmapped over the batch and the batch axis is
+sharded over the device mesh. Each chip owns its scenario block — the only
+cross-chip communication is the metric reduction at the end (psum-style
+means handled by jit on sharded arrays).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from a1_qp_mpc_controller_tpu.config import A1Config, RobotParams
+from a1_qp_mpc_controller_tpu.control.controller import control_tick
+from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+from a1_qp_mpc_controller_tpu.sim import plant as plant_mod
+from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
+from a1_qp_mpc_controller_tpu.types import JoyCmd
+
+
+def randomize_params(key: jax.Array, n: int, base: RobotParams
+                     ) -> RobotParams:
+    """Per-scenario physical randomization: mass +-20%, inertia +-20%,
+    controller friction mu in [0.2, 0.45], gait speed +-20%, swing-PD gain
+    jitter +-15%."""
+    k = jax.random.split(key, 6)
+    u = lambda kk, lo, hi, shape=(): jax.random.uniform(
+        kk, (n,) + shape, minval=lo, maxval=hi)
+    tile = lambda a: jnp.broadcast_to(a, (n,) + a.shape)
+
+    batched = jax.tree_util.tree_map(tile, base)
+    mass_scale = u(k[0], 0.8, 1.2)
+    inertia_scale = u(k[1], 0.8, 1.2)
+    mu = u(k[2], 0.2, 0.45)
+    gait_scale = u(k[3], 0.8, 1.2)
+    kp_scale = u(k[4], 0.85, 1.15)
+    return batched.replace(
+        robot_mass=batched.robot_mass * mass_scale,
+        trunk_inertia=batched.trunk_inertia * inertia_scale[:, None, None],
+        mu_mpc=mu,
+        gait_counter_speed=batched.gait_counter_speed
+        * gait_scale[:, None],
+        kp_foot=batched.kp_foot * kp_scale[:, None, None],
+    )
+
+
+def randomize_terrain(key: jax.Array, n: int,
+                      max_pitch: float = 0.2) -> terrain_mod.Terrain:
+    """Per-scenario terrain: a mix of flat, sloped, and stepped ground."""
+    k1, k2 = jax.random.split(key)
+    base = terrain_mod.Terrain.flat()
+    tile = lambda a: jnp.broadcast_to(a, (n,))
+    t = jax.tree_util.tree_map(tile, base)
+    pitch = jax.random.uniform(k1, (n,), minval=-max_pitch,
+                               maxval=max_pitch)
+    kind = jax.random.randint(k2, (n,), 0, 3)  # 0 flat, 1 slope, 2 stairs
+    return t.replace(
+        pitch=jnp.where(kind == 1, pitch, 0.0),
+        slope_start=jnp.full((n,), 0.4),
+        slope_len=jnp.full((n,), 8.0),
+        step_height=jnp.where(kind == 2, 0.06, 0.0),
+        step_len=jnp.full((n,), 0.3),
+        stairs_start=jnp.full((n,), 0.5),
+        n_steps=jnp.full((n,), 6.0),
+    )
+
+
+def make_batch(cfg: A1Config, key: jax.Array, n: int, base: RobotParams,
+               height: float = 0.3):
+    """Build (params, terrain, carry) batches of size n."""
+    kp, kt = jax.random.split(key)
+    params = randomize_params(kp, n, base)
+    terrain = randomize_terrain(kt, n)
+    carry = jax.vmap(
+        lambda p, t: cl.make_standing_start(cfg, p, t, height)
+    )(params, terrain)
+    return params, terrain, carry
+
+
+@partial(jax.jit, static_argnames=("cfg", "substeps"))
+def batched_step(cfg: A1Config, params: RobotParams,
+                 terrain: terrain_mod.Terrain, carry: cl.LoopCarry,
+                 joy: JoyCmd, dt: jnp.ndarray, substeps: int = 5
+                 ) -> Tuple[cl.LoopCarry, jnp.ndarray]:
+    """One batched control+plant step over the scenario axis. ``joy`` is a
+    single (unbatched) command applied to every scenario. Returns the new
+    carry and a per-batch metric row (root height error, for reductions)."""
+
+    def one(params_i, terr_i, c: cl.LoopCarry):
+        sensors = plant_mod.read_sensors(params_i, c.ps,
+                                         c.prev_root_lin_vel, dt)
+        cs, mem, torques = control_tick(cfg, params_i, c.cs, c.mem, sensors,
+                                        joy, dt)
+        prev = c.ps.root_lin_vel
+        ps = plant_mod.plant_step(params_i, terr_i, c.ps, torques, dt,
+                                  substeps)
+        return cl.LoopCarry(cs=cs, mem=mem, ps=ps, prev_root_lin_vel=prev)
+
+    carry = jax.vmap(one)(params, terrain, carry)
+    height_err = jnp.abs(carry.ps.root_pos[:, 2]
+                         - carry.cs.root_pos_d[:, 2])
+    return carry, height_err
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "substeps"))
+def batched_rollout(cfg: A1Config, params: RobotParams,
+                    terrain: terrain_mod.Terrain, carry: cl.LoopCarry,
+                    joy_seq: JoyCmd, n_steps: int, substeps: int = 5):
+    """Scan ``n_steps`` batched steps; returns (carry, (T,B) height-error
+    trace + global means reduced across the sharded batch)."""
+    dt = jnp.asarray(cfg.control_dt, jnp.float32)
+
+    def body(c, joy):
+        c, err = batched_step(cfg, params, terrain, c, joy, dt, substeps)
+        return c, err
+
+    carry, errs = jax.lax.scan(body, carry, joy_seq)
+    # cross-device reduction (compiles to an ICI all-reduce when the batch
+    # axis is sharded over a mesh)
+    metrics = {
+        "mean_height_err": jnp.mean(errs[-n_steps // 4:]),
+        "p95_height_err": jnp.percentile(errs[-n_steps // 4:], 95.0),
+        "alive_frac": jnp.mean(
+            (~jnp.isnan(carry.ps.root_pos[:, 2])).astype(jnp.float32)),
+    }
+    return carry, errs, metrics

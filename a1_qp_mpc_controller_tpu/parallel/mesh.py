@@ -1,0 +1,52 @@
+"""Device mesh helpers.
+
+The reference is a single-robot, single-process controller; its concurrency
+is two threads and a callback spinner (SURVEY.md §2). The TPU-native scaling
+axis is the *scenario batch*: thousands of domain-randomized robots sharded
+over a 1-D (or host x chip) mesh, each chip solving its scenario block
+locally, with ICI collectives only for metric reductions — no per-solve
+communication, which is what makes the throughput target reachable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SCENARIO_AXIS = "scenario"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              axis_name: str = SCENARIO_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def scenario_sharding(mesh: Mesh, axis_name: str = SCENARIO_AXIS
+                      ) -> NamedSharding:
+    """Shard the leading (scenario) axis of every array over the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree, mesh: Mesh, axis_name: str = SCENARIO_AXIS):
+    """Device-put a pytree whose leaves have a leading scenario axis."""
+    sh = scenario_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def multihost_init() -> None:
+    """Initialize jax.distributed when launched across hosts (no-op in a
+    single-process environment)."""
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process

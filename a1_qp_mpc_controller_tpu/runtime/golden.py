@@ -1,0 +1,126 @@
+"""Golden-trajectory gate: force-trajectory match against the float64
+reference solver along a closed-loop trot.
+
+BASELINE.md requires a "bit-tolerant match to reference (OSQP) force
+trajectories over a 10 s trot". OSQP itself is not available in this
+environment, so the ground truth is the float64 NumPy ADMM solved to 1e-9
+residuals (``ops/qp_ref`` — same algorithm family as OSQP with KKT
+verification; a strictly convex QP has a unique optimum, so any solver
+converged to tight KKT residuals yields the same forces).
+
+The gate runs the f32 TPU control stack closed-loop, and at sampled ticks
+rebuilds the exact QP the controller solved and re-solves it in float64.
+Reported: per-solve first-step force deviation (N) and the fraction of
+sampled solves within tolerance.
+
+Run as a script:  python -m a1_qp_mpc_controller_tpu.runtime.golden
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from a1_qp_mpc_controller_tpu.config import GRAVITY, A1Config, RobotParams
+from a1_qp_mpc_controller_tpu.config import load_profile
+from a1_qp_mpc_controller_tpu.control.controller import control_tick_jit
+from a1_qp_mpc_controller_tpu.models import srb
+from a1_qp_mpc_controller_tpu.ops import qp_ref
+from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+from a1_qp_mpc_controller_tpu.sim import plant as plant_mod
+from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
+
+
+def rebuild_mpc_qp(cfg: A1Config, params: RobotParams, cs, dt):
+    """Reconstruct the exact MPC QP compute_grf solved for this tick
+    (mirrors control/grf.py's MPC branch)."""
+    dtype = cs.root_pos.dtype
+    mpc_states = jnp.concatenate([
+        cs.root_euler, cs.root_pos, cs.root_ang_vel, cs.root_lin_vel,
+        jnp.asarray([-GRAVITY], dtype)])
+    lin_vel_d_world = cs.root_rot_mat @ cs.root_lin_vel_d
+    x_ref = srb.build_reference_trajectory(
+        cs.root_euler, cs.root_pos, cs.root_pos_d, cs.root_euler_d,
+        cs.root_ang_vel_d, lin_vel_d_world, dt, cfg.horizon)
+    a_c = srb.continuous_a(cs.root_euler)
+    b_c = srb.continuous_b(params.robot_mass, params.trunk_inertia,
+                           cs.root_rot_mat, cs.foot_pos_abs)
+    _, b_d = srb.discretize(a_c, b_c, dt)
+    b_d_list = jnp.broadcast_to(b_d, (cfg.horizon,) + b_d.shape)
+    a_qp, b_qp = srb.condense(a_c, b_d_list, dt, cfg.horizon)
+    p_mat, q_vec = srb.mpc_cost(a_qp, b_qp, params.q_weights,
+                                params.r_weights, mpc_states, x_ref,
+                                cfg.horizon)
+    a_mat = srb.friction_constraint_matrix(params.mu_mpc, cfg.horizon,
+                                           dtype)
+    lb, ub = srb.mpc_bounds(cs.contacts, params.fz_min, params.fz_max,
+                            cfg.horizon, dtype)
+    return p_mat, q_vec, a_mat, lb, ub
+
+
+def run_gate(seconds: float = 10.0, sample_every: int = 50,
+             walk_after_s: float = 1.0, velx: float = 0.3,
+             mpc_iters: int = 400, solver_mode: str = "adaptive",
+             profile: str = "gazebo_mpc",
+             terrain: Optional[terrain_mod.Terrain] = None,
+             tol_newton: float = 2.0, verbose: bool = True) -> dict:
+    cfg, params = load_profile(profile)
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=mpc_iters,
+                              mpc_solver_mode=solver_mode)
+    terrain = terrain if terrain is not None else terrain_mod.Terrain.flat()
+    n_steps = int(seconds / cfg.control_dt)
+    walk_after = int(walk_after_s / cfg.control_dt)
+    joy = cl.joy_schedule(n_steps, walk_after=walk_after, velx=velx)
+    carry = cl.make_standing_start(cfg, params, terrain)
+    dt = jnp.float32(cfg.control_dt)
+
+    cs, mem, ps = carry.cs, carry.mem, carry.ps
+    prev = carry.prev_root_lin_vel
+    devs = []
+    ref_mags = []
+    for t in range(n_steps):
+        j = jtu.tree_map(lambda a: a[t], joy)
+        sensors = plant_mod.read_sensors(params, ps, prev, dt)
+        cs, mem, tq = control_tick_jit(cfg, params, cs, mem, sensors, j, dt)
+        prev = ps.root_lin_vel
+        ps = plant_mod.plant_step(params, terrain, ps, tq, dt)
+        if t >= walk_after and (t - walk_after) % sample_every == 0:
+            p_mat, q_vec, a_mat, lb, ub = rebuild_mpc_qp(cfg, params, cs, dt)
+            x64, _, _, info = qp_ref.solve_qp_ref(
+                np.asarray(p_mat, np.float64), np.asarray(q_vec, np.float64),
+                np.asarray(a_mat, np.float64), np.asarray(lb, np.float64),
+                np.asarray(ub, np.float64), eps=1e-9)
+            f_ref = x64[:12].reshape(4, 3)
+            f_ours = np.asarray(cs.root_rot_mat) @ np.asarray(
+                cs.foot_forces_grf).T  # body -> world, (3,4)
+            dev = np.abs(f_ours.T - f_ref).max()
+            devs.append(dev)
+            ref_mags.append(np.abs(f_ref).max())
+            if verbose and len(devs) % 10 == 1:
+                print(f"  t={t * cfg.control_dt:.2f}s dev={dev:.3f} N "
+                      f"(ref max {ref_mags[-1]:.0f} N)", file=sys.stderr)
+    devs = np.array(devs)
+    report = {
+        "samples": len(devs),
+        "max_dev_N": float(devs.max()),
+        "mean_dev_N": float(devs.mean()),
+        "p95_dev_N": float(np.percentile(devs, 95)),
+        "frac_within_tol": float((devs <= tol_newton).mean()),
+        "tol_N": tol_newton,
+        "final_x_m": float(ps.root_pos[0]),
+        "final_z_m": float(ps.root_pos[2]),
+        "nan": bool(np.isnan(np.asarray(ps.root_pos)).any()),
+    }
+    return report
+
+
+if __name__ == "__main__":
+    secs = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    rep = run_gate(seconds=secs)
+    print(rep)

@@ -1,0 +1,170 @@
+"""Benchmark: horizon-10 MPC solves/s/chip + single-scenario p99 latency.
+
+Runs on whatever accelerator JAX defaults to (the driver provides one real
+TPU chip). Prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline is measured against the per-chip share of the BASELINE.json
+target: >=100k horizon-10 MPC solves/s on a v5e-16 => 6250 solves/s/chip.
+
+The benchmarked unit is the FULL control tick (sensor ingest, FK fan-out,
+gait/swing planning, EKF update, condensed QP construction, 50-iteration
+warm-started ADMM solve, torque mapping) — one MPC solve per tick, so
+ticks/s x batch == solves/s, and the number includes everything the
+reference's two 400 Hz threads do per period.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+PER_CHIP_TARGET = 100_000 / 16  # BASELINE.json: 100k solves/s on v5e-16
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build():
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.control.controller import control_tick
+    from a1_qp_mpc_controller_tpu.types import (
+        CtrlMem, CtrlState, JoyCmd, SensorData,
+    )
+
+    cfg, params = load_profile("gazebo_mpc")
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=50, mpc_solver_mode="fixed")
+    return cfg, params, control_tick, CtrlState, CtrlMem, SensorData, JoyCmd
+
+
+def bench_throughput(batch: int, ticks: int = 20, reps: int = 3) -> float:
+    """Batched MPC control ticks/s on one chip (solves/s)."""
+    cfg, params, control_tick, CtrlState, CtrlMem, SensorData, JoyCmd = \
+        build()
+    key = jax.random.PRNGKey(0)
+
+    from a1_qp_mpc_controller_tpu.parallel.batched import randomize_params
+    pb = randomize_params(key, batch, params)
+    cs = jax.vmap(lambda _: CtrlState.init(cfg, params))(jnp.arange(batch))
+    # perturb states so solves are non-degenerate
+    k1, k2 = jax.random.split(key)
+    cs = cs.replace(
+        root_pos=jnp.concatenate(
+            [jax.random.uniform(k1, (batch, 2), minval=-0.05, maxval=0.05),
+             jax.random.uniform(k2, (batch, 1), minval=0.27, maxval=0.32)],
+            axis=1),
+        foot_pos_abs=jnp.broadcast_to(params.default_foot_pos,
+                                      (batch, 4, 3)),
+        contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
+                                  (batch, 4)),
+    )
+    mem = jax.vmap(lambda _: CtrlMem.init(cfg))(jnp.arange(batch))
+    sensors = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(batch))
+    sensors = sensors.replace(
+        root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (batch, 4)),
+        foot_force=jnp.full((batch, 4), 60.0),
+    )
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.3))
+    dt = jnp.float32(cfg.control_dt)
+
+    tick = jax.vmap(
+        lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt))
+
+    @jax.jit
+    def run(cs, mem, sensors):
+        def body(carry, _):
+            cs, mem = carry
+            cs, mem, _ = tick(pb, cs, mem, sensors)
+            return (cs, mem), None
+
+        (cs, mem), _ = jax.lax.scan(body, (cs, mem), None, length=ticks)
+        return cs, mem
+
+    t0 = time.perf_counter()
+    cs2, mem2 = run(cs, mem, sensors)
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), cs2.joint_torques)
+    log(f"  compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        cs2, mem2 = run(cs, mem, sensors)
+        cs2.joint_torques.block_until_ready()
+        dt_wall = time.perf_counter() - t0
+        best = max(best, batch * ticks / dt_wall)
+    return best
+
+
+def bench_latency(n: int = 200) -> dict:
+    """Single-scenario end-to-end control-tick latency (ms)."""
+    cfg, params, control_tick, CtrlState, CtrlMem, SensorData, JoyCmd = \
+        build()
+    cs = CtrlState.init(cfg, params)
+    cs = cs.replace(root_pos=jnp.array([0.0, 0.0, 0.3]),
+                    foot_pos_abs=params.default_foot_pos,
+                    contacts=jnp.array([True, False, False, True]))
+    mem = CtrlMem.init(cfg)
+    sensors = SensorData.zeros()
+    joy = JoyCmd.zeros()
+    dt = jnp.float32(cfg.control_dt)
+
+    step = jax.jit(lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt),
+                   donate_argnums=(1, 2))
+    cs_out, mem_out, _ = step(params, cs, mem, sensors)
+    cs_out.joint_torques.block_until_ready()
+
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        cs_out, mem_out, tq = step(params, cs_out, mem_out, sensors)
+        tq.block_until_ready()
+        times.append((time.perf_counter() - t0) * 1e3)
+    times.sort()
+    return {
+        "p50_ms": times[len(times) // 2],
+        "p99_ms": times[int(len(times) * 0.99)],
+        "mean_ms": sum(times) / len(times),
+    }
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    lat = bench_latency()
+    log(f"single-scenario latency: p50={lat['p50_ms']:.2f}ms "
+        f"p99={lat['p99_ms']:.2f}ms (budget 2.5ms)")
+
+    best = 0.0
+    best_batch = 0
+    for batch in (1024, 2048, 4096):
+        sps = bench_throughput(batch)
+        log(f"  batch={batch}: {sps:,.0f} solves/s")
+        if sps > best:
+            best, best_batch = sps, batch
+    log(f"best: {best:,.0f} solves/s/chip at batch={best_batch}; "
+        f"p99 latency {lat['p99_ms']:.2f}ms")
+
+    print(json.dumps({
+        "metric": "mpc_solves_per_s_per_chip",
+        "value": round(best, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(best / PER_CHIP_TARGET, 3),
+        "extra": {
+            "latency_p99_ms": round(lat["p99_ms"], 3),
+            "latency_p50_ms": round(lat["p50_ms"], 3),
+            "latency_budget_ms": 2.5,
+            "best_batch": best_batch,
+            "admm_iters_per_solve": 50,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
