@@ -1,0 +1,145 @@
+"""CLI entry points — the counterparts of the reference's three Main
+executables (MainGazebo/MainHardware/MainIsaac, SURVEY.md §1 L5):
+
+  python -m a1_qp_mpc_controller_tpu sim       # closed-loop rollout (batch of 1)
+  python -m a1_qp_mpc_controller_tpu realtime  # wall-clock 400 Hz harness
+  python -m a1_qp_mpc_controller_tpu batch     # domain-randomized pod path
+  python -m a1_qp_mpc_controller_tpu golden    # force-trajectory gate
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _parse_terrain(spec: str):
+    from a1_qp_mpc_controller_tpu.sim import terrain as tr
+    if spec == "flat":
+        return tr.Terrain.flat()
+    kind, _, arg = spec.partition(":")
+    if kind == "slope":
+        return tr.Terrain.slope(float(arg or 0.2))
+    if kind == "stairs":
+        return tr.Terrain.stairs(step_height=float(arg or 0.09))
+    raise SystemExit(f"unknown terrain {spec!r} (flat | slope:RAD | "
+                     f"stairs:HEIGHT)")
+
+
+def cmd_sim(args) -> None:
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.runtime import telemetry
+    from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+    cfg, params = load_profile(args.profile)
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=args.mpc_iters,
+                              mpc_solver_mode=args.solver_mode)
+    terrain = _parse_terrain(args.terrain)
+    n_steps = int(args.seconds / cfg.control_dt)
+    walk_after = int(args.walk_after / cfg.control_dt)
+    carry = cl.make_standing_start(cfg, params, terrain)
+    joy = cl.joy_schedule(n_steps, walk_after=walk_after, velx=args.velx,
+                          vely=args.vely, yaw_rate=args.yaw_rate)
+    carry, trace = cl.rollout(cfg, params, terrain, carry, joy, n_steps)
+    summary = telemetry.summarize_trace(trace)
+    if args.trace_out:
+        telemetry.save_npz(trace, args.trace_out)
+        summary["trace_file"] = args.trace_out
+    print(json.dumps(summary, indent=2))
+
+
+def cmd_realtime(args) -> None:
+    from a1_qp_mpc_controller_tpu.runtime.realtime import RealtimeRunner
+    from a1_qp_mpc_controller_tpu.types import JoyCmd
+    import jax.numpy as jnp
+    runner = RealtimeRunner(profile=args.profile,
+                            mpc_iters=args.mpc_iters,
+                            solver_mode=args.solver_mode)
+    joy = JoyCmd.zeros()
+    if args.walk:
+        joy = joy.replace(ctrl_state=jnp.int32(1),
+                          velx=jnp.float32(args.velx))
+    stats = runner.run(args.seconds, joy)
+    print(json.dumps(stats, indent=2))
+
+
+def cmd_batch(args) -> None:
+    import jax
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.parallel import batched, mesh as meshmod
+    from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+    cfg, params = load_profile(args.profile)
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=args.mpc_iters,
+                              mpc_solver_mode="fixed")
+    mesh = meshmod.make_mesh()
+    pb, tb, carry = batched.make_batch(cfg, jax.random.PRNGKey(args.seed),
+                                       args.n, params)
+    pb = meshmod.shard_batch(pb, mesh)
+    tb = meshmod.shard_batch(tb, mesh)
+    carry = meshmod.shard_batch(carry, mesh)
+    joy_seq = cl.joy_schedule(args.steps,
+                              walk_after=args.steps // 4, velx=args.velx)
+    carry, errs, metrics = batched.batched_rollout(
+        cfg, pb, tb, carry, joy_seq, args.steps)
+    print(json.dumps({k: float(v) for k, v in metrics.items()}, indent=2))
+
+
+def cmd_golden(args) -> None:
+    from a1_qp_mpc_controller_tpu.runtime.golden import run_gate
+    rep = run_gate(seconds=args.seconds, sample_every=args.sample_every,
+                   velx=args.velx, terrain=_parse_terrain(args.terrain))
+    print(json.dumps(rep, indent=2))
+    if rep["nan"] or rep["frac_within_tol"] < 1.0:
+        sys.exit(1)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="a1_qp_mpc_controller_tpu")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--profile", default="gazebo_mpc")
+        sp.add_argument("--mpc-iters", type=int, default=400)
+        sp.add_argument("--solver-mode", default="adaptive",
+                        choices=["adaptive", "fixed"])
+        sp.add_argument("--velx", type=float, default=0.3)
+        sp.add_argument("--seconds", type=float, default=5.0)
+        sp.add_argument("--terrain", default="flat")
+
+    ps = sub.add_parser("sim", help="closed-loop rollout")
+    common(ps)
+    ps.add_argument("--vely", type=float, default=0.0)
+    ps.add_argument("--yaw-rate", type=float, default=0.0)
+    ps.add_argument("--walk-after", type=float, default=1.0)
+    ps.add_argument("--trace-out", default="")
+    ps.set_defaults(fn=cmd_sim)
+
+    pr = sub.add_parser("realtime", help="wall-clock 400 Hz harness")
+    common(pr)
+    pr.add_argument("--walk", action="store_true")
+    pr.set_defaults(fn=cmd_realtime, mpc_iters=50, solver_mode="fixed")
+
+    pb = sub.add_parser("batch", help="domain-randomized batched rollout")
+    common(pb)
+    pb.add_argument("--n", type=int, default=64)
+    pb.add_argument("--steps", type=int, default=400)
+    pb.add_argument("--seed", type=int, default=0)
+    pb.set_defaults(fn=cmd_batch, mpc_iters=50)
+
+    pg = sub.add_parser("golden", help="force-trajectory gate vs float64")
+    common(pg)
+    pg.add_argument("--sample-every", type=int, default=50)
+    pg.set_defaults(fn=cmd_golden, seconds=10.0)
+
+    args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -58,10 +58,10 @@ class QPSettings:
     check_every: int = 25
     scaling_iters: int = 10
     adaptive_rho: bool = True
-    # unroll factor for the inner ADMM iteration loop: each iteration is a
-    # handful of small kernels, so on TPU the loop is launch-bound;
-    # unrolling lets XLA fuse/pipeline consecutive iterations
-    unroll: int = 5
+    # unroll factor for the inner ADMM iteration loop. Measured on TPU
+    # v5e: unroll=1 is fastest (0.1 ms for a 50-iteration 120-var solve);
+    # unroll>1 triggers a pathological lowering ~270x slower. Keep 1.
+    unroll: int = 1
 
 
 class QPSolution(struct.PyTreeNode):

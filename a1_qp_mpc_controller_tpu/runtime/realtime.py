@@ -1,0 +1,139 @@
+"""Single-scenario real-time harness: the functional equivalent of the
+reference's Main{Gazebo,Hardware,Isaac} executables (SURVEY.md §1 L5).
+
+Thread topology mirrors the reference:
+
+- a *sensor producer* (here: the in-framework plant, or any external feed)
+  pushes frames into the native SPSC ring at its own rate (the reference's
+  500 Hz UDP receive thread, HardwareA1ROS.cpp:89);
+- the native periodic executor runs the jitted control tick at 400 Hz with
+  solve-time compensation (MainHardware.cpp:85-130), consuming the freshest
+  sensor frame each period;
+- per-tick latency, jitter and deadline-miss statistics come from the
+  native loop.
+
+The control math itself is one pre-compiled XLA program with donated
+buffers — the "shared blackboard" is the (CtrlState, CtrlMem) pytree
+handed from tick to tick.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from a1_qp_mpc_controller_tpu.config import A1Config, RobotParams, load_profile
+from a1_qp_mpc_controller_tpu.control.controller import control_tick
+from a1_qp_mpc_controller_tpu.runtime.native import RtLoop, SensorRing
+from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+from a1_qp_mpc_controller_tpu.sim import plant as plant_mod
+from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
+from a1_qp_mpc_controller_tpu.types import JoyCmd, SensorData
+
+SENSOR_FRAME_LEN = 4 + 3 + 3 + 3 + 3 + 12 + 12 + 4  # 44 floats
+
+
+def pack_sensors(s: SensorData) -> np.ndarray:
+    return np.concatenate([
+        np.asarray(s.root_quat), np.asarray(s.root_pos),
+        np.asarray(s.root_lin_vel), np.asarray(s.imu_acc),
+        np.asarray(s.imu_ang_vel), np.asarray(s.joint_pos),
+        np.asarray(s.joint_vel), np.asarray(s.foot_force),
+    ]).astype(np.float32)
+
+
+def unpack_sensors(frame: np.ndarray) -> SensorData:
+    f = frame
+    return SensorData(
+        root_quat=jnp.asarray(f[0:4]), root_pos=jnp.asarray(f[4:7]),
+        root_lin_vel=jnp.asarray(f[7:10]), imu_acc=jnp.asarray(f[10:13]),
+        imu_ang_vel=jnp.asarray(f[13:16]), joint_pos=jnp.asarray(f[16:28]),
+        joint_vel=jnp.asarray(f[28:40]), foot_force=jnp.asarray(f[40:44]),
+    )
+
+
+class RealtimeRunner:
+    """Runs the controller at a fixed wall-clock rate against a sensor ring,
+    with an in-process plant producer (swap the producer for a robot I/O
+    shim on real hardware)."""
+
+    def __init__(self, profile: str = "gazebo_mpc",
+                 mpc_iters: int = 50, solver_mode: str = "fixed",
+                 terrain: Optional[terrain_mod.Terrain] = None):
+        cfg, params = load_profile(profile)
+        self.cfg: A1Config = dataclasses.replace(
+            cfg, mpc_qp_iters=mpc_iters, mpc_solver_mode=solver_mode)
+        self.params: RobotParams = params
+        self.terrain = terrain or terrain_mod.Terrain.flat()
+        self.dt = jnp.float32(self.cfg.control_dt)
+
+        carry = cl.make_standing_start(self.cfg, self.params, self.terrain)
+        self.cs, self.mem, self.ps = carry.cs, carry.mem, carry.ps
+        self.prev_vel = carry.prev_root_lin_vel
+        self.joy = JoyCmd.zeros()
+        self.ring = SensorRing(SENSOR_FRAME_LEN)
+
+        cfg_ = self.cfg
+
+        @jax.jit
+        def _tick(params, cs, mem, sensors, joy, dt):
+            return control_tick(cfg_, params, cs, mem, sensors, joy, dt)
+
+        self._tick = _tick
+        # warm every compile used by the RT threads so no compilation
+        # happens inside the loop (deadline discipline)
+        s0 = plant_mod.read_sensors(self.params, self.ps, self.prev_vel,
+                                    self.dt)
+        out = self._tick(self.params, self.cs, self.mem, s0, self.joy,
+                         self.dt)
+        out[2].block_until_ready()
+        ps_warm = plant_mod.plant_step(self.params, self.terrain, self.ps,
+                                       out[2], self.dt)
+        ps_warm.root_pos.block_until_ready()
+        self._latencies_ms: list = []
+
+    # sensor producer: advance the plant with the latest torques and push
+    def _produce(self, _tick_idx: int) -> None:
+        s = plant_mod.read_sensors(self.params, self.ps, self.prev_vel,
+                                   self.dt)
+        self.ring.push(pack_sensors(s))
+
+    def _consume(self, _tick_idx: int) -> None:
+        frame = self.ring.pop_latest()
+        if frame is None:
+            return
+        sensors = unpack_sensors(frame)
+        t0 = time.perf_counter()
+        cs, mem, torques = self._tick(self.params, self.cs, self.mem,
+                                      sensors, self.joy, self.dt)
+        torques.block_until_ready()
+        self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
+        self.cs, self.mem = cs, mem
+        self.prev_vel = self.ps.root_lin_vel
+        self.ps = plant_mod.plant_step(self.params, self.terrain, self.ps,
+                                       torques, self.dt)
+
+    def run(self, seconds: float, joy: Optional[JoyCmd] = None) -> dict:
+        if joy is not None:
+            self.joy = joy
+        sensor_loop = RtLoop(0.002, self._produce, compensate=False)
+        ctrl_loop = RtLoop(float(self.cfg.control_dt), self._consume,
+                           compensate=True)
+        sensor_loop.start()
+        ctrl_loop.start()
+        time.sleep(seconds)
+        ctrl_loop.stop()
+        sensor_loop.stop()
+        stats = ctrl_loop.stats()
+        lat = sorted(self._latencies_ms)
+        if lat:
+            stats["solve_p50_ms"] = lat[len(lat) // 2]
+            stats["solve_p99_ms"] = lat[int(len(lat) * 0.99)]
+        stats["ring_dropped"] = self.ring.dropped
+        stats["root_pos"] = np.asarray(self.ps.root_pos).tolist()
+        return stats

@@ -48,7 +48,8 @@ def make_standing_start(cfg: A1Config, params: RobotParams,
     cs = CtrlState.init(cfg, params)
     # seed the controller's root state with the true pose so the first ticks
     # (before the EKF converges) are sane
-    cs = cs.replace(root_pos=ps.root_pos, joy_body_height=jnp.asarray(height))
+    cs = cs.replace(root_pos=ps.root_pos,
+                    joy_body_height=jnp.full((), height, jnp.float32))
     mem = CtrlMem.init(cfg)
     return LoopCarry(cs=cs, mem=mem, ps=ps,
                      prev_root_lin_vel=ps.root_lin_vel)

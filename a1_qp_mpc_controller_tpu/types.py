@@ -200,7 +200,8 @@ class CtrlState(struct.PyTreeNode):
             terrain_pitch_angle=z(),
             estimated_root_pos=z(3),
             estimated_root_vel=z(3),
-            joy_body_height=jnp.asarray(0.3, dtype),
+            joy_body_height=jnp.full((), 0.3, dtype),  # strong-typed: keeps
+            # the tick signature stable (no recompile after the first step)
             joy_ctrl_state=jnp.int32(0),
             prev_joy_ctrl_state=jnp.int32(0),
         )

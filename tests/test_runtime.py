@@ -1,0 +1,134 @@
+"""Runtime layer tests: native executor, checkpointing, telemetry, CLI."""
+
+import io
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from a1_qp_mpc_controller_tpu.runtime import checkpoint, telemetry
+from a1_qp_mpc_controller_tpu.runtime.native import RtLoop, SensorRing
+
+
+def test_sensor_ring_latest_wins():
+    r = SensorRing(4)
+    assert r.pop_latest() is None
+    for i in range(10):
+        r.push(np.full(4, float(i), np.float32))
+    out = r.pop_latest()
+    np.testing.assert_allclose(out, 9.0)
+    assert r.pop_latest() is None  # drained
+
+
+def test_sensor_ring_overwrite_drops_oldest():
+    r = SensorRing(2, capacity_pow2=2)  # 4 slots
+    for i in range(10):
+        r.push(np.full(2, float(i), np.float32))
+    assert r.dropped > 0
+    np.testing.assert_allclose(r.pop_latest(), 9.0)
+
+
+def test_rt_loop_rate_and_stats():
+    count = [0]
+
+    def work(_tick):
+        count[0] += 1
+
+    loop = RtLoop(0.005, work, compensate=True)
+    loop.start()
+    time.sleep(0.25)
+    loop.stop()
+    s = loop.stats()
+    assert 30 <= s["iterations"] <= 60
+    assert s["iterations"] == count[0]
+    assert s["missed_deadlines"] == 0
+    assert s["mean_jitter_ms"] < 1.0
+
+
+def test_rt_loop_overrun_accounting():
+    def slow(_tick):
+        time.sleep(0.01)  # 10 ms work in a 5 ms loop
+
+    loop = RtLoop(0.005, slow, compensate=True)
+    loop.start()
+    time.sleep(0.2)
+    loop.stop()
+    s = loop.stats()
+    assert s["missed_deadlines"] == s["iterations"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+    from a1_qp_mpc_controller_tpu.sim import terrain as tr
+    cfg, params = load_profile("gazebo_mpc")
+    carry = cl.make_standing_start(cfg, params, tr.Terrain.flat())
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, carry)
+    fresh = cl.make_standing_start(cfg, params, tr.Terrain.flat())
+    restored = checkpoint.load(path, fresh)
+    assert checkpoint.roundtrip_equal(carry, restored)
+
+
+def test_checkpoint_resume_continues_exactly():
+    """Rollout(40) == rollout(20) -> checkpoint -> rollout(20)."""
+    import dataclasses
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+    from a1_qp_mpc_controller_tpu.sim import terrain as tr
+    cfg, params = load_profile("gazebo_mpc")
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=25, mpc_solver_mode="fixed")
+    terr = tr.Terrain.flat()
+    carry0 = cl.make_standing_start(cfg, params, terr)
+    joy = cl.joy_schedule(40)
+    full, trace_full = cl.rollout(cfg, params, terr, carry0, joy, 40)
+
+    import jax.tree_util as jtu
+    half1, _ = cl.rollout(cfg, params, terr, carry0,
+                          jtu.tree_map(lambda a: a[:20], joy), 20)
+    half2, _ = cl.rollout(cfg, params, terr, half1,
+                          jtu.tree_map(lambda a: a[20:], joy), 20)
+    np.testing.assert_allclose(np.asarray(half2.ps.root_pos),
+                               np.asarray(full.ps.root_pos), atol=1e-6)
+
+
+def test_telemetry_summary_and_jsonl():
+    import dataclasses
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+    from a1_qp_mpc_controller_tpu.sim import terrain as tr
+    cfg, params = load_profile("gazebo_mpc")
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=25, mpc_solver_mode="fixed")
+    terr = tr.Terrain.flat()
+    carry = cl.make_standing_start(cfg, params, terr)
+    _, trace = cl.rollout(cfg, params, terr, carry, cl.joy_schedule(30), 30)
+    s = telemetry.summarize_trace(trace)
+    assert s["ticks"] == 30 and not s["nan"]
+    buf = io.StringIO()
+    n = telemetry.write_jsonl(trace, buf, every=5)
+    assert n == 6
+    row = json.loads(buf.getvalue().splitlines()[0])
+    assert "pos" in row and len(row["fz"]) == 4
+
+
+def test_cli_sim_smoke():
+    out = subprocess.run(
+        [sys.executable, "-m", "a1_qp_mpc_controller_tpu", "--cpu", "sim",
+         "--seconds", "0.5", "--mpc-iters", "25", "--solver-mode", "fixed",
+         "--walk-after", "10.0"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout)
+    assert rep["nan"] is False
+
+
+def test_cli_bad_terrain_errors():
+    out = subprocess.run(
+        [sys.executable, "-m", "a1_qp_mpc_controller_tpu", "--cpu", "sim",
+         "--terrain", "volcano"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0
+    assert "volcano" in out.stderr
