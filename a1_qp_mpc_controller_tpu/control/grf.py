@@ -169,9 +169,8 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                                cs.root_rot_mat, cs.foot_pos_abs)
         _, b_d = srb.discretize(a_c, b_c, mpc_dt)
         # production path: one B for the whole horizon
-        # (A1RobotControl.cpp:498-514)
-        b_d_list = jnp.broadcast_to(b_d, (cfg.horizon,) + b_d.shape)
-        a_qp, b_qp = srb.condense(a_c, b_d_list, mpc_dt, cfg.horizon)
+        # (A1RobotControl.cpp:498-514) — block-Toeplitz fast path
+        a_qp, b_qp = srb.condense_same_b(a_c, b_d, mpc_dt, cfg.horizon)
         p_mat, q_vec = srb.mpc_cost(a_qp, b_qp, params.q_weights,
                                     params.r_weights, mpc_states, x_ref,
                                     cfg.horizon)
@@ -189,21 +188,38 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                            jnp.zeros_like(mem.mpc_warm_y))
         rho0 = jnp.where(mem.mpc_warm_started, mem.mpc_rho,
                          jnp.asarray(_MPC_RHO0, dtype))
+        # a contact flip rewrites a leg's constraint rows (swing-leg force
+        # pins become equalities or vice versa): that leg's stale duals —
+        # and the carried rho — start the solve far from the new optimum.
+        # Zero the flipped legs' dual rows (unchanged legs keep theirs) and
+        # re-seed rho. The flipped legs' primal entries are also zeroed:
+        # a leg entering swing must go to zero force anyway, and a leg
+        # entering stance is better started at 0 than at stale values.
+        leg_flip = cs.contacts != mem.mpc_prev_contacts      # (4,)
+        row_flip = jnp.tile(jnp.repeat(leg_flip, 5), cfg.horizon)  # (200,)
+        var_flip = jnp.tile(jnp.repeat(leg_flip, 3), cfg.horizon)  # (120,)
+        warm_y = jnp.where(row_flip, 0.0, warm_y)
+        warm_x = jnp.where(var_flip, 0.0, warm_x)
+        rho0 = jnp.where(jnp.any(leg_flip),
+                         jnp.asarray(_MPC_RHO0, dtype), rho0)
         if cfg.mpc_solver_mode == "fixed":
             sol = qpx.admm_solve_fixed(
                 p_mat, q_vec, a_mat, lb, ub, cfg.mpc_qp_iters,
                 qpx.QPSettings(rho=_MPC_RHO0),
-                x0=warm_x, y0=warm_y, rho0=rho0)
+                x0=warm_x, y0=warm_y, rho0=rho0,
+                scaling=mem.mpc_scaling)
         else:
             sol = qpx.admm_solve(
                 p_mat, q_vec, a_mat, lb, ub,
                 qpx.QPSettings(rho=_MPC_RHO0, eps_abs=1e-5, eps_rel=1e-5,
                                max_iter=cfg.mpc_qp_iters,
                                check_every=cfg.qp_check_every),
-                x0=warm_x, y0=warm_y, rho0=rho0)
+                x0=warm_x, y0=warm_y, rho0=rho0,
+                scaling=mem.mpc_scaling)
         mem = mem.replace(mpc_warm_x=sol.x, mpc_warm_y=sol.y,
                           mpc_rho=sol.rho,
-                          mpc_warm_started=jnp.asarray(True))
+                          mpc_warm_started=jnp.asarray(True),
+                          mpc_prev_contacts=cs.contacts)
         forces_world = sol.x[:12].reshape(NUM_LEG, 3)
 
     # world -> body frame + per-leg NaN guard

@@ -127,6 +127,29 @@ def condense(a_c: jnp.ndarray, b_d_list: jnp.ndarray, dt: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("horizon",))
+def condense_same_b(a_c: jnp.ndarray, b_d: jnp.ndarray, dt: jnp.ndarray,
+                    horizon: int = PLAN_HORIZON):
+    """Fast path for the production case where one B_d serves the whole
+    horizon (A1RobotControl.cpp:498-514): B_qp is block-Toeplitz in
+    ``M_k = A_d^k B_d``, so only the H distinct blocks are computed (H
+    small matmuls) and the (H*13, H*12) matrix is a gather — ~10x fewer
+    flops than the general per-(i,j) product and far fewer tiny-matmul
+    kernels on TPU."""
+    n, m = MPC_STATE_DIM, NUM_DOF
+    powers = a_d_powers(a_c, dt, horizon)              # (H+1, n, n)
+    a_qp = powers[1:].reshape(horizon * n, n)
+    m_blocks = jnp.einsum("kab,bc->kac", powers[:horizon], b_d,
+                          precision=_HIGH)             # (H, n, m)
+    i_idx = jnp.arange(horizon)[:, None]
+    j_idx = jnp.arange(horizon)[None, :]
+    lag = jnp.clip(i_idx - j_idx, 0, horizon - 1)
+    mask = (i_idx >= j_idx).astype(a_c.dtype)[:, :, None, None]
+    blocks = m_blocks[lag] * mask                      # (H, H, n, m)
+    b_qp = blocks.transpose(0, 2, 1, 3).reshape(horizon * n, horizon * m)
+    return a_qp, b_qp
+
+
+@partial(jax.jit, static_argnames=("horizon",))
 def mpc_cost(a_qp: jnp.ndarray, b_qp: jnp.ndarray, q_weights: jnp.ndarray,
              r_weights: jnp.ndarray, mpc_states: jnp.ndarray,
              mpc_states_d: jnp.ndarray, horizon: int = PLAN_HORIZON):
@@ -184,6 +207,32 @@ def mpc_bounds(contacts: jnp.ndarray, fz_min: jnp.ndarray,
     lb = jnp.tile(lb_leg.reshape(-1), horizon)
     ub = jnp.tile(ub_leg.reshape(-1), horizon)
     return lb, ub
+
+
+def reference_mpc_scaling(params, horizon: int = PLAN_HORIZON,
+                          dtype=jnp.float32):
+    """Equilibration for the MPC problem family, computed once from a
+    representative instance (nominal stand, all feet in contact). Used to
+    skip the per-solve Ruiz sweep (see ops/qp.Scaling)."""
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    euler = jnp.zeros(3, dtype)
+    rot = jnp.eye(3, dtype=dtype)
+    dt = jnp.asarray(0.0025, dtype)
+    a_c = continuous_a(euler)
+    b_c = continuous_b(params.robot_mass, params.trunk_inertia, rot,
+                       params.default_foot_pos)
+    _, b_d = discretize(a_c, b_c, dt)
+    b_d_list = jnp.broadcast_to(b_d, (horizon,) + b_d.shape)
+    a_qp, b_qp = condense(a_c, b_d_list, dt, horizon)
+    x0 = jnp.zeros(MPC_STATE_DIM, dtype).at[5].set(0.3).at[12].set(-9.8)
+    x_ref = jnp.tile(x0, horizon)
+    p_mat, q_vec = mpc_cost(a_qp, b_qp, params.q_weights, params.r_weights,
+                            x0, x_ref, horizon)
+    a_mat = friction_constraint_matrix(params.mu_mpc, horizon, dtype)
+    lb, ub = mpc_bounds(jnp.ones(4, bool), params.fz_min, params.fz_max,
+                        horizon, dtype)
+    return qpx.compute_scaling(p_mat, q_vec, a_mat, lb, ub, 10)
 
 
 def build_reference_trajectory(root_euler, root_pos, root_pos_d, root_euler_d,

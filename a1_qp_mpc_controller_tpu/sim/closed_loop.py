@@ -50,7 +50,7 @@ def make_standing_start(cfg: A1Config, params: RobotParams,
     # (before the EKF converges) are sane
     cs = cs.replace(root_pos=ps.root_pos,
                     joy_body_height=jnp.full((), height, jnp.float32))
-    mem = CtrlMem.init(cfg)
+    mem = CtrlMem.init(cfg, params)
     return LoopCarry(cs=cs, mem=mem, ps=ps,
                      prev_root_lin_vel=ps.root_lin_vel)
 

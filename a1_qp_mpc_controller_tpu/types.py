@@ -237,14 +237,27 @@ class CtrlMem(struct.PyTreeNode):
     mpc_warm_y: jnp.ndarray                     # (200,) dual warm start
     mpc_rho: jnp.ndarray                        # () carried ADMM stepsize
     mpc_warm_started: jnp.ndarray               # () bool
+    mpc_prev_contacts: jnp.ndarray              # (4,) bool: contact pattern
+    #   of the previous solve — a flip invalidates the dual warm start
+    mpc_scaling: "object"                       # ops.qp.Scaling (precomputed)
     tick: jnp.ndarray                           # () int32 (mpc_init_counter)
     ekf: EKFState
 
     @classmethod
-    def init(cls, cfg: A1Config, dtype=jnp.float32) -> "CtrlMem":
+    def init(cls, cfg: A1Config, params: "RobotParams | None" = None,
+             dtype=jnp.float32) -> "CtrlMem":
+        from a1_qp_mpc_controller_tpu.ops.qp import Scaling
         nv = NUM_DOF * cfg.horizon
         nc = 5 * NUM_LEG * cfg.horizon
+        if params is not None and cfg.stance_leg_control_type == 1:
+            from a1_qp_mpc_controller_tpu.models.srb import (
+                reference_mpc_scaling,
+            )
+            scaling = reference_mpc_scaling(params, cfg.horizon, dtype)
+        else:
+            scaling = Scaling.identity(nv, nc, dtype)
         return cls(
+            mpc_scaling=scaling,
             terrain_angle_filter=make_filter((), TERRAIN_FILTER_WINDOW, dtype),
             recent_contact_filter=make_filter_bank(
                 NUM_LEG, (3,), RECENT_CONTACT_FILTER_WINDOW, dtype),
@@ -254,6 +267,7 @@ class CtrlMem(struct.PyTreeNode):
             mpc_warm_y=jnp.zeros((nc,), dtype),
             mpc_rho=jnp.asarray(1e-4, dtype),
             mpc_warm_started=jnp.asarray(False),
+            mpc_prev_contacts=jnp.ones((NUM_LEG,), bool),
             tick=jnp.int32(0),
             ekf=EKFState(x=jnp.zeros((18,), dtype),
                          P=3.0 * jnp.eye(18, dtype=dtype),

@@ -65,7 +65,7 @@ def bench_throughput(batch: int, ticks: int = 20, reps: int = 3) -> float:
         contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
                                   (batch, 4)),
     )
-    mem = jax.vmap(lambda _: CtrlMem.init(cfg))(jnp.arange(batch))
+    mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(batch))
     sensors = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(batch))
     sensors = sensors.replace(
         root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (batch, 4)),
@@ -111,7 +111,7 @@ def bench_latency(n: int = 200) -> dict:
     cs = cs.replace(root_pos=jnp.array([0.0, 0.0, 0.3]),
                     foot_pos_abs=params.default_foot_pos,
                     contacts=jnp.array([True, False, False, True]))
-    mem = CtrlMem.init(cfg)
+    mem = CtrlMem.init(cfg, params)
     sensors = SensorData.zeros()
     joy = JoyCmd.zeros()
     dt = jnp.float32(cfg.control_dt)

@@ -115,6 +115,19 @@ def test_condense_matches_reference_loop(rng):
     np.testing.assert_allclose(np.asarray(b_qp), b_ref, atol=1e-6)
 
 
+def test_condense_same_b_fast_path_matches_general(rng):
+    p, euler, rot, foot_pos = stand_state(rng)
+    a_c = srb.continuous_a(euler)
+    b_c = srb.continuous_b(p.robot_mass, p.trunk_inertia, rot, foot_pos)
+    dt = jnp.float32(0.0025)
+    _, b_d = srb.discretize(a_c, b_c, dt)
+    b_d_list = jnp.broadcast_to(b_d, (PLAN_HORIZON,) + b_d.shape)
+    a1, b1 = srb.condense(a_c, b_d_list, dt)
+    a2, b2 = srb.condense_same_b(a_c, b_d, dt)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b1), atol=1e-7)
+
+
 def test_condense_per_step_b(rng):
     """Per-step varying B matrices (the test_mpc.cpp receding-foothold
     variant) go through the same code path."""
