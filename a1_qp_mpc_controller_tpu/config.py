@@ -116,6 +116,10 @@ class A1Config:
     mpc_solver_mode: str = "adaptive"
     # number of warm-up ticks emitting zero torque (A1RobotControl.cpp:292-295)
     torque_warmup_ticks: int = 10
+    # hardware command safety (Safety::PositionLimit / PowerProtect analogs,
+    # HardwareA1ROS.cpp:194-197); power_level 1-10 as in the Unitree SDK
+    apply_safety: bool = False
+    power_level: int = 5
 
     @property
     def n_mpc_vars(self) -> int:
@@ -270,6 +274,7 @@ _PROFILES = {
     # config/hardware_a1_mpc.yaml
     "hardware_mpc": dict(
         control_type=1, use_sim_time=False, use_terrain_adapt=True,
+        power_level=10,
         robot_mass=13.5,
         trunk_inertia=(0.0178533, 0.0377999, 0.0456542),
         default_foot_pos=((0.17, 0.15, -0.3), (0.17, -0.15, -0.3),
@@ -284,6 +289,7 @@ _PROFILES = {
     # config/hardware_a1_qp.yaml
     "hardware_qp": dict(
         control_type=0, use_sim_time=False, use_terrain_adapt=True,
+        power_level=8,
         robot_mass=15.0,
         gait_counter_speed=(1.0,) * 4,
         kp_foot=(260.0, 260.0, 350.0), kd_foot=(6.0, 6.0, 5.0),
@@ -332,6 +338,8 @@ def load_profile(name: str, dtype=jnp.float32) -> Tuple[A1Config, RobotParams]:
         stance_leg_control_type=p["control_type"],
         use_terrain_adapt=p["use_terrain_adapt"],
         use_sim_time=p["use_sim_time"],
+        apply_safety=not p["use_sim_time"],
+        power_level=p.get("power_level", 5),
     )
     ixx, iyy, izz = p["trunk_inertia"]
     params = default_robot_params(dtype).replace(

@@ -59,6 +59,42 @@ def control_tick_jit(cfg: A1Config, params: RobotParams, cs: CtrlState,
     return control_tick(cfg, params, cs, mem, sensors, joy, dt)
 
 
+# --- split tick (batched-executor decomposition) --------------------------
+# The MPC solve's KKT factorization wants to run as ONE batched Pallas
+# kernel, which cannot live inside vmap. The split exposes the tick as
+# build -> (external solve) -> finish; `parallel.batched_tick` composes
+# vmap(build) + pallas-batched solve + vmap(finish). Single-scenario
+# semantics are identical to control_tick.
+
+def control_tick_build(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                       mem: CtrlMem, sensors: SensorData, joy: JoyCmd,
+                       dt: jnp.ndarray):
+    """Everything before the MPC solve; returns (cs, mem, MpcProblem).
+    MPC profiles only."""
+    assert cfg.stance_leg_control_type == 1, "split tick is MPC-only"
+    cs, mem = ingest_sensors(cfg, params, cs, mem, sensors)
+    if not cfg.use_estimator:
+        cs = cs.replace(root_pos=sensors.root_pos,
+                        root_lin_vel=sensors.root_lin_vel)
+    cs = fsm.joystick_update(cfg, params, cs, joy, dt)
+    cs = gait.update_plan(cfg, params, cs, dt)
+    cs, mem = swing.generate_swing_legs_ctrl(cfg, params, cs, mem, dt)
+    if cfg.use_estimator:
+        ekf, cs = estimator.step(cfg, params, cs, mem.ekf, dt)
+        mem = mem.replace(ekf=ekf)
+    cs, mem = grf.terrain_adaptation(cfg, cs, mem)
+    prob = grf.mpc_problem(cfg, params, cs, mem, dt)
+    return cs, mem, prob
+
+
+def control_tick_finish(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                        mem: CtrlMem, sol):
+    """Apply an externally computed MPC solution and map torques."""
+    cs, mem = grf.mpc_apply_solution(cfg, cs, mem, sol)
+    cs, mem = torque.compute_joint_torques(cfg, params, cs, mem)
+    return cs, mem, cs.joint_torques
+
+
 # --- dual-rate decomposition (mirrors the reference's thread split) -------
 
 def main_step(cfg: A1Config, params: RobotParams, cs: CtrlState,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+from flax import struct
 
 from a1_qp_mpc_controller_tpu.config import (
     A1Config, GRAVITY, NUM_LEG, RobotParams,
@@ -152,78 +153,115 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
         forces_world = sol.x.reshape(NUM_LEG, 3)
     else:
         # --- convex MPC path (A1RobotControl.cpp:446-561)
-        mpc_states = jnp.concatenate([
-            cs.root_euler, cs.root_pos, cs.root_ang_vel, cs.root_lin_vel,
-            jnp.asarray([-GRAVITY], dtype)])
-        # sim integrates with the measured dt; hardware pins 2.5 ms
-        # (A1RobotControl.cpp:458-467)
-        mpc_dt = dt if cfg.use_sim_time else jnp.asarray(0.0025, dtype)
-
-        lin_vel_d_world = cs.root_rot_mat @ cs.root_lin_vel_d
-        x_ref = srb.build_reference_trajectory(
-            cs.root_euler, cs.root_pos, cs.root_pos_d, cs.root_euler_d,
-            cs.root_ang_vel_d, lin_vel_d_world, mpc_dt, cfg.horizon)
-
-        a_c = srb.continuous_a(cs.root_euler)
-        b_c = srb.continuous_b(params.robot_mass, params.trunk_inertia,
-                               cs.root_rot_mat, cs.foot_pos_abs)
-        _, b_d = srb.discretize(a_c, b_c, mpc_dt)
-        # production path: one B for the whole horizon
-        # (A1RobotControl.cpp:498-514) — block-Toeplitz fast path
-        a_qp, b_qp = srb.condense_same_b(a_c, b_d, mpc_dt, cfg.horizon)
-        p_mat, q_vec = srb.mpc_cost(a_qp, b_qp, params.q_weights,
-                                    params.r_weights, mpc_states, x_ref,
-                                    cfg.horizon)
-        a_mat = srb.friction_constraint_matrix(params.mu_mpc, cfg.horizon,
-                                               dtype)
-        lb, ub = srb.mpc_bounds(cs.contacts, params.fz_min, params.fz_max,
-                                cfg.horizon, dtype)
-
-        # warm-started fixed-iteration solve with cross-tick rho carry —
-        # the deterministic equivalent of the reference's persistent
-        # warm-started OSQP instance (A1RobotControl.cpp:522-540)
-        warm_x = jnp.where(mem.mpc_warm_started, mem.mpc_warm_x,
-                           jnp.zeros_like(mem.mpc_warm_x))
-        warm_y = jnp.where(mem.mpc_warm_started, mem.mpc_warm_y,
-                           jnp.zeros_like(mem.mpc_warm_y))
-        rho0 = jnp.where(mem.mpc_warm_started, mem.mpc_rho,
-                         jnp.asarray(_MPC_RHO0, dtype))
-        # a contact flip rewrites a leg's constraint rows (swing-leg force
-        # pins become equalities or vice versa): that leg's stale duals —
-        # and the carried rho — start the solve far from the new optimum.
-        # Zero the flipped legs' dual rows (unchanged legs keep theirs) and
-        # re-seed rho. The flipped legs' primal entries are also zeroed:
-        # a leg entering swing must go to zero force anyway, and a leg
-        # entering stance is better started at 0 than at stale values.
-        leg_flip = cs.contacts != mem.mpc_prev_contacts      # (4,)
-        row_flip = jnp.tile(jnp.repeat(leg_flip, 5), cfg.horizon)  # (200,)
-        var_flip = jnp.tile(jnp.repeat(leg_flip, 3), cfg.horizon)  # (120,)
-        warm_y = jnp.where(row_flip, 0.0, warm_y)
-        warm_x = jnp.where(var_flip, 0.0, warm_x)
-        rho0 = jnp.where(jnp.any(leg_flip),
-                         jnp.asarray(_MPC_RHO0, dtype), rho0)
+        prob = mpc_problem(cfg, params, cs, mem, dt)
         if cfg.mpc_solver_mode == "fixed":
             sol = qpx.admm_solve_fixed(
-                p_mat, q_vec, a_mat, lb, ub, cfg.mpc_qp_iters,
-                qpx.QPSettings(rho=_MPC_RHO0),
-                x0=warm_x, y0=warm_y, rho0=rho0,
+                prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
+                cfg.mpc_qp_iters, qpx.QPSettings(rho=_MPC_RHO0),
+                x0=prob.warm_x, y0=prob.warm_y, rho0=prob.rho0,
                 scaling=mem.mpc_scaling)
         else:
             sol = qpx.admm_solve(
-                p_mat, q_vec, a_mat, lb, ub,
+                prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
                 qpx.QPSettings(rho=_MPC_RHO0, eps_abs=1e-5, eps_rel=1e-5,
                                max_iter=cfg.mpc_qp_iters,
                                check_every=cfg.qp_check_every),
-                x0=warm_x, y0=warm_y, rho0=rho0,
+                x0=prob.warm_x, y0=prob.warm_y, rho0=prob.rho0,
                 scaling=mem.mpc_scaling)
-        mem = mem.replace(mpc_warm_x=sol.x, mpc_warm_y=sol.y,
-                          mpc_rho=sol.rho,
-                          mpc_warm_started=jnp.asarray(True),
-                          mpc_prev_contacts=cs.contacts)
-        forces_world = sol.x[:12].reshape(NUM_LEG, 3)
+        return mpc_apply_solution(cfg, cs, mem, sol)
 
     # world -> body frame + per-leg NaN guard
     # (A1RobotControl.cpp:439-444, 555-561)
+    forces_body = jnp.einsum("ba,lb->la", cs.root_rot_mat, forces_world)
+    bad = jnp.isnan(jnp.sum(forces_body, axis=1))
+    forces_body = jnp.where(bad[:, None], cs.foot_forces_grf, forces_body)
+    return cs.replace(foot_forces_grf=forces_body), mem
+
+
+class MpcProblem(struct.PyTreeNode):
+    """One tick's condensed MPC QP + warm-start data. Produced by
+    :func:`mpc_problem`, consumed by a solver, finished by
+    :func:`mpc_apply_solution` — split out so batched executors can hoist
+    the solve (e.g. the Pallas batched KKT inverse) out of ``vmap``."""
+
+    p_mat: jnp.ndarray   # (120,120)
+    q_vec: jnp.ndarray   # (120,)
+    a_mat: jnp.ndarray   # (200,120)
+    lb: jnp.ndarray      # (200,)
+    ub: jnp.ndarray      # (200,)
+    warm_x: jnp.ndarray  # (120,)
+    warm_y: jnp.ndarray  # (200,)
+    rho0: jnp.ndarray    # ()
+
+
+def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                mem: CtrlMem, dt: jnp.ndarray) -> MpcProblem:
+    """Build the tick's MPC QP (A1RobotControl.cpp:446-518 + warm-start
+    bookkeeping). Pure — no state updates."""
+    dtype = cs.root_pos.dtype
+    mpc_states = jnp.concatenate([
+        cs.root_euler, cs.root_pos, cs.root_ang_vel, cs.root_lin_vel,
+        jnp.asarray([-GRAVITY], dtype)])
+    # sim integrates with the measured dt; hardware pins 2.5 ms
+    # (A1RobotControl.cpp:458-467)
+    mpc_dt = dt if cfg.use_sim_time else jnp.asarray(0.0025, dtype)
+
+    lin_vel_d_world = cs.root_rot_mat @ cs.root_lin_vel_d
+    x_ref = srb.build_reference_trajectory(
+        cs.root_euler, cs.root_pos, cs.root_pos_d, cs.root_euler_d,
+        cs.root_ang_vel_d, lin_vel_d_world, mpc_dt, cfg.horizon)
+
+    a_c = srb.continuous_a(cs.root_euler)
+    b_c = srb.continuous_b(params.robot_mass, params.trunk_inertia,
+                           cs.root_rot_mat, cs.foot_pos_abs)
+    _, b_d = srb.discretize(a_c, b_c, mpc_dt)
+    # production path: one B for the whole horizon
+    # (A1RobotControl.cpp:498-514) — block-Toeplitz fast path
+    a_qp, b_qp = srb.condense_same_b(a_c, b_d, mpc_dt, cfg.horizon)
+    p_mat, q_vec = srb.mpc_cost(a_qp, b_qp, params.q_weights,
+                                params.r_weights, mpc_states, x_ref,
+                                cfg.horizon)
+    a_mat = srb.friction_constraint_matrix(params.mu_mpc, cfg.horizon,
+                                           dtype)
+    lb, ub = srb.mpc_bounds(cs.contacts, params.fz_min, params.fz_max,
+                            cfg.horizon, dtype)
+
+    # warm start with cross-tick rho carry — the deterministic equivalent
+    # of the reference's persistent warm-started OSQP instance
+    # (A1RobotControl.cpp:522-540)
+    warm_x = jnp.where(mem.mpc_warm_started, mem.mpc_warm_x,
+                       jnp.zeros_like(mem.mpc_warm_x))
+    warm_y = jnp.where(mem.mpc_warm_started, mem.mpc_warm_y,
+                       jnp.zeros_like(mem.mpc_warm_y))
+    rho0 = jnp.where(mem.mpc_warm_started, mem.mpc_rho,
+                     jnp.asarray(_MPC_RHO0, dtype))
+    # a contact flip rewrites a leg's constraint rows (swing-leg force
+    # pins become equalities or vice versa): that leg's stale duals —
+    # and the carried rho — start the solve far from the new optimum.
+    # Zero the flipped legs' dual rows (unchanged legs keep theirs) and
+    # re-seed rho. The flipped legs' primal entries are also zeroed:
+    # a leg entering swing must go to zero force anyway, and a leg
+    # entering stance is better started at 0 than at stale values.
+    leg_flip = cs.contacts != mem.mpc_prev_contacts      # (4,)
+    row_flip = jnp.tile(jnp.repeat(leg_flip, 5), cfg.horizon)  # (200,)
+    var_flip = jnp.tile(jnp.repeat(leg_flip, 3), cfg.horizon)  # (120,)
+    warm_y = jnp.where(row_flip, 0.0, warm_y)
+    warm_x = jnp.where(var_flip, 0.0, warm_x)
+    rho0 = jnp.where(jnp.any(leg_flip),
+                     jnp.asarray(_MPC_RHO0, dtype), rho0)
+    return MpcProblem(p_mat=p_mat, q_vec=q_vec, a_mat=a_mat, lb=lb, ub=ub,
+                      warm_x=warm_x, warm_y=warm_y, rho0=rho0)
+
+
+def mpc_apply_solution(cfg: A1Config, cs: CtrlState, mem: CtrlMem,
+                       sol) -> Tuple[CtrlState, CtrlMem]:
+    """Store warm-start state and map the solved world-frame forces into
+    body frame with the per-leg NaN guard (A1RobotControl.cpp:555-561)."""
+    mem = mem.replace(mpc_warm_x=sol.x, mpc_warm_y=sol.y,
+                      mpc_rho=sol.rho,
+                      mpc_warm_started=jnp.asarray(True),
+                      mpc_prev_contacts=cs.contacts)
+    forces_world = sol.x[:12].reshape(NUM_LEG, 3)
     forces_body = jnp.einsum("ba,lb->la", cs.root_rot_mat, forces_world)
     bad = jnp.isnan(jnp.sum(forces_body, axis=1))
     forces_body = jnp.where(bad[:, None], cs.foot_forces_grf, forces_body)

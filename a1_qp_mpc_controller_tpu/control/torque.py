@@ -33,5 +33,11 @@ def compute_joint_torques(cfg: A1Config, params: RobotParams, cs: CtrlState,
     # (A1RobotControl.cpp:292-295)
     warm = mem.tick < cfg.torque_warmup_ticks
     tau = jnp.where(warm, jnp.zeros_like(tau), tau)
+    if cfg.apply_safety:
+        # hardware profiles: Safety::PositionLimit/PowerProtect analogs
+        # before the command leaves (HardwareA1ROS.cpp:194-197)
+        from a1_qp_mpc_controller_tpu.control import safety
+        tau = safety.apply_all(tau, cs.joint_pos, cs.joint_vel,
+                               cfg.power_level)
     return (cs.replace(joint_torques=tau),
             mem.replace(tick=mem.tick + 1))

@@ -209,13 +209,10 @@ def mpc_bounds(contacts: jnp.ndarray, fz_min: jnp.ndarray,
     return lb, ub
 
 
-def reference_mpc_scaling(params, horizon: int = PLAN_HORIZON,
+def reference_mpc_problem(params, horizon: int = PLAN_HORIZON,
                           dtype=jnp.float32):
-    """Equilibration for the MPC problem family, computed once from a
-    representative instance (nominal stand, all feet in contact). Used to
-    skip the per-solve Ruiz sweep (see ops/qp.Scaling)."""
-    from a1_qp_mpc_controller_tpu.ops import qp as qpx
-
+    """A representative MPC QP instance (nominal stand, all feet in
+    contact) used to precompute per-scenario solver state at init."""
     euler = jnp.zeros(3, dtype)
     rot = jnp.eye(3, dtype=dtype)
     dt = jnp.asarray(0.0025, dtype)
@@ -232,7 +229,34 @@ def reference_mpc_scaling(params, horizon: int = PLAN_HORIZON,
     a_mat = friction_constraint_matrix(params.mu_mpc, horizon, dtype)
     lb, ub = mpc_bounds(jnp.ones(4, bool), params.fz_min, params.fz_max,
                         horizon, dtype)
+    return p_mat, q_vec, a_mat, lb, ub
+
+
+def reference_mpc_scaling(params, horizon: int = PLAN_HORIZON,
+                          dtype=jnp.float32):
+    """Equilibration for the MPC problem family, computed once from a
+    representative instance. Used to skip the per-solve Ruiz sweep
+    (see ops/qp.Scaling)."""
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    p_mat, q_vec, a_mat, lb, ub = reference_mpc_problem(params, horizon,
+                                                        dtype)
     return qpx.compute_scaling(p_mat, q_vec, a_mat, lb, ub, 10)
+
+
+def reference_kkt_inverse(params, scaling, rho: float,
+                          horizon: int = PLAN_HORIZON,
+                          eq_scale: float = 1.0, dtype=jnp.float32):
+    """Exact scaled-KKT inverse at the representative instance — the seed
+    for the Newton-Schulz solver mode (one Cholesky at init, none in the
+    hot path)."""
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    p_mat, q_vec, a_mat, lb, ub = reference_mpc_problem(params, horizon,
+                                                        dtype)
+    sp = qpx.apply_scaling(p_mat, q_vec, a_mat, lb, ub, scaling)
+    rho_vec = qpx._rho_vec(sp.l, sp.u, jnp.asarray(rho, dtype), eq_scale)
+    return qpx._kkt_inverse(sp.P, sp.A, rho_vec, 1e-6)
 
 
 def build_reference_trajectory(root_euler, root_pos, root_pos_d, root_euler_d,

@@ -62,6 +62,10 @@ class QPSettings:
     # v5e: unroll=1 is fastest (0.1 ms for a 50-iteration 120-var solve);
     # unroll>1 triggers a pathological lowering ~270x slower. Keep 1.
     unroll: int = 1
+    # equality-row rho multiplier (OSQP uses 1e3). The Newton-Schulz
+    # solver mode sets this to 1 so rho_vec — and therefore the KKT
+    # matrix — never jumps when the contact pattern flips.
+    rho_eq_scale: float = RHO_EQ_SCALE
 
 
 class QPSolution(struct.PyTreeNode):
@@ -175,31 +179,32 @@ def ruiz_equilibrate(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
                          d=d_acc, e=e_acc, c=c_acc)
 
 
-def _rho_vec(l: jnp.ndarray, u: jnp.ndarray, rho: jnp.ndarray) -> jnp.ndarray:
-    """Per-constraint rho: equalities stiffened 1e3x, free rows get RHO_MIN
-    (OSQP's rho_vec construction)."""
+def _rho_vec(l: jnp.ndarray, u: jnp.ndarray, rho: jnp.ndarray,
+             eq_scale: float = RHO_EQ_SCALE) -> jnp.ndarray:
+    """Per-constraint rho: equalities stiffened eq_scale x (OSQP uses 1e3),
+    free rows get RHO_MIN (OSQP's rho_vec construction)."""
     eq = (u - l) < RHO_TOL
     loose = jnp.isinf(-l) & jnp.isinf(u)
     rv = jnp.full_like(l, rho)
-    rv = jnp.where(eq, RHO_EQ_SCALE * rho, rv)
+    rv = jnp.where(eq, eq_scale * rho, rv)
     rv = jnp.where(loose, RHO_MIN, rv)
     return jnp.clip(rv, RHO_MIN, RHO_MAX)
 
 
 def _kkt_inverse(P: jnp.ndarray, A: jnp.ndarray, rho_vec: jnp.ndarray,
                  sigma: float) -> jnp.ndarray:
-    """inv(P + sigma I + A' diag(rho) A) via Cholesky — the one
-    factorization reused across all ADMM iterations (as OSQP does)."""
+    """inv(P + sigma I + A' diag(rho) A) — the one factorization reused
+    across all ADMM iterations (as OSQP does).
+
+    Uses jnp.linalg.inv (batched LU): measured 0.1 ms for 1024x(120,120)
+    on TPU v5e, ~500x faster than a cholesky + two triangular_solve
+    composition (whose TPU lowering is launch-bound), and also faster than
+    a custom Pallas Gauss-Jordan kernel (ops/pallas_kernels.py, kept as a
+    documented alternative)."""
     n = P.shape[0]
     m_mat = (P + sigma * jnp.eye(n, dtype=P.dtype)
              + jnp.matmul(A.T * rho_vec[None, :], A, precision=_HIGH))
-    chol = jax.lax.linalg.cholesky(m_mat)
-    eye = jnp.eye(n, dtype=P.dtype)
-    inv = jax.lax.linalg.triangular_solve(
-        chol, eye, left_side=True, lower=True)
-    inv = jax.lax.linalg.triangular_solve(
-        chol, inv, left_side=True, lower=True, transpose_a=True)
-    return inv
+    return jnp.linalg.inv(m_mat)
 
 
 @partial(jax.jit, static_argnames=("settings",))
@@ -209,12 +214,16 @@ def admm_solve(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
                x0: jnp.ndarray | None = None,
                y0: jnp.ndarray | None = None,
                rho0: jnp.ndarray | None = None,
-               scaling: Scaling | None = None) -> QPSolution:
+               scaling: Scaling | None = None,
+               kkt_inv: jnp.ndarray | None = None) -> QPSolution:
     """Solve the QP. ``x0``/``y0`` warm-start the (unscaled) primal/dual;
     ``rho0`` (traced scalar) overrides the initial ADMM stepsize — pass the
     previous solve's ``QPSolution.rho`` when iterating over a sequence of
     similar problems. ``scaling`` skips the per-solve Ruiz sweep and applies
-    a precomputed equilibration instead."""
+    a precomputed equilibration instead. ``kkt_inv`` supplies an externally
+    computed inverse of :func:`scaled_kkt_matrix` (same settings/rho0/
+    scaling!) and skips the in-solve factorization; it requires
+    ``adaptive_rho=False`` (an in-solve rho change would refactorize)."""
     n = P.shape[0]
     m = A.shape[0]
     dtype = P.dtype
@@ -240,8 +249,12 @@ def admm_solve(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
         rho0 = jnp.asarray(s.rho, dtype)
     else:
         rho0 = jnp.asarray(rho0, dtype)
-    rho_vec = _rho_vec(ls, us, rho0)
-    minv = _kkt_inverse(Ps, As, rho_vec, s.sigma)
+    rho_vec = _rho_vec(ls, us, rho0, s.rho_eq_scale)
+    if kkt_inv is None:
+        minv = _kkt_inverse(Ps, As, rho_vec, s.sigma)
+    else:
+        assert not s.adaptive_rho, "kkt_inv requires adaptive_rho=False"
+        minv = kkt_inv
 
     def admm_block(carry):
         x, y, z, rho_vec, minv = carry
@@ -308,7 +321,7 @@ def admm_solve(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
             do_update = change & (~done)
 
             def refactor(_):
-                rv = _rho_vec(ls, us, rho_new)
+                rv = _rho_vec(ls, us, rho_new, s.rho_eq_scale)
                 return rho_new, rv, _kkt_inverse(Ps, As, rv, s.sigma)
 
             def keep(_):
@@ -344,6 +357,56 @@ def admm_solve(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
         iters=it, prim_res=rp, dual_res=rd, converged=done, rho=rho_est)
 
 
+def _kkt_matrix(P: jnp.ndarray, A: jnp.ndarray, rho_vec: jnp.ndarray,
+                sigma: float) -> jnp.ndarray:
+    n = P.shape[0]
+    return (P + sigma * jnp.eye(n, dtype=P.dtype)
+            + jnp.matmul(A.T * rho_vec[None, :], A, precision=_HIGH))
+
+
+def scaled_kkt_matrix(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
+                      l: jnp.ndarray, u: jnp.ndarray,
+                      settings: QPSettings, rho0: jnp.ndarray,
+                      scaling: Scaling) -> jnp.ndarray:
+    """The KKT matrix admm_solve would factorize for this problem — for
+    callers that compute the inverse externally (e.g. the Pallas batched
+    Gauss-Jordan kernel, which must run outside vmap) and pass it back via
+    ``kkt_inv``. Must use the same settings/rho0/scaling as the solve."""
+    sp = apply_scaling(P, q, A, l, u, scaling)
+    rho_vec = _rho_vec(sp.l, sp.u, rho0, settings.rho_eq_scale)
+    return _kkt_matrix(sp.P, sp.A, rho_vec, settings.sigma)
+
+
+def newton_schulz_inverse(m_mat: jnp.ndarray, seed: jnp.ndarray,
+                          iters: int) -> jnp.ndarray:
+    """Iteratively (re)compute M^-1 with Newton-Schulz: X <- X(2I - M X).
+
+    Pure batched-GEMM work (MXU-shaped). ``seed`` is a prior inverse; if
+    its residual ||I - seed M||_inf >= 1 the iteration restarts from the
+    always-convergent cold seed M' / (||M||_1 ||M||_inf).
+
+    WARNING (measured): in float32 this iteration is backward-unstable at
+    the MPC KKT matrix's conditioning (kappa ~ 2.5e4 after equilibration) —
+    one step DEGRADES a near-exact seed from residual 2e-3 to 4e-1. It is
+    therefore NOT used in the controller (see CLAUDE.md); kept for
+    well-conditioned use cases and as a documented negative result.
+    """
+    n = m_mat.shape[-1]
+    eye = jnp.eye(n, dtype=m_mat.dtype)
+    cold = m_mat.T / jnp.maximum(
+        jnp.max(jnp.sum(jnp.abs(m_mat), axis=0))
+        * jnp.max(jnp.sum(jnp.abs(m_mat), axis=1)), 1e-12)
+    resid = jnp.max(jnp.abs(
+        eye - jnp.matmul(seed, m_mat, precision=_HIGH)))
+    x = jnp.where(resid < 0.9, seed, cold)
+
+    def body(_, x):
+        mx = jnp.matmul(m_mat, x, precision=_HIGH)
+        return 2.0 * x - jnp.matmul(x, mx, precision=_HIGH)
+
+    return jax.lax.fori_loop(0, iters, body, x)
+
+
 @partial(jax.jit, static_argnames=("iters", "settings"))
 def admm_solve_fixed(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
                      l: jnp.ndarray, u: jnp.ndarray, iters: int,
@@ -351,7 +414,8 @@ def admm_solve_fixed(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
                      x0: jnp.ndarray | None = None,
                      y0: jnp.ndarray | None = None,
                      rho0: jnp.ndarray | None = None,
-                     scaling: Scaling | None = None) -> QPSolution:
+                     scaling: Scaling | None = None,
+                     kkt_inv: jnp.ndarray | None = None) -> QPSolution:
     """Fixed-iteration variant (no early exit, no in-solve adaptation): the
     batched throughput path. All scenarios run lock-step; iteration count is
     chosen by the caller. The returned ``rho`` is the post-solve estimate —
@@ -359,4 +423,6 @@ def admm_solve_fixed(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
     without per-solve refactorization."""
     s = dataclasses.replace(settings, max_iter=iters, check_every=iters,
                             adaptive_rho=False)
-    return admm_solve(P, q, A, l, u, s, x0, y0, rho0, scaling)
+    return admm_solve(P, q, A, l, u, s, x0, y0, rho0, scaling, kkt_inv)
+
+

@@ -24,6 +24,54 @@ from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
 from a1_qp_mpc_controller_tpu.types import JoyCmd
 
 
+def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
+                         joy: JoyCmd, dt: jnp.ndarray, *,
+                         kkt_block: int = 8, use_pallas: bool = False,
+                         interpret: bool = False):
+    """One batched MPC control tick with the KKT factorization hoisted out
+    of vmap.
+
+    Numerically equivalent to ``vmap(control_tick)`` (same scaled KKT
+    matrix, same ADMM iterations) — only the inverse's computation route
+    differs. Requires cfg.mpc_solver_mode == 'fixed'.
+
+    ``use_pallas`` selects the custom Gauss-Jordan kernel; measurement on
+    v5e showed XLA's batched LU inverse (the default) is faster, so the
+    kernel is an option/benchmark, not the default path.
+    """
+    from a1_qp_mpc_controller_tpu.control import grf
+    from a1_qp_mpc_controller_tpu.control.controller import (
+        control_tick_build, control_tick_finish,
+    )
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import batched_inverse
+
+    assert cfg.mpc_solver_mode == "fixed"
+    settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
+
+    cs, mem, prob = jax.vmap(
+        lambda p, c, m, s: control_tick_build(cfg, p, c, m, s, joy, dt)
+    )(params_b, cs_b, mem_b, sensors_b)
+
+    m_b = jax.vmap(lambda pr, sc: qpx.scaled_kkt_matrix(
+        pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, settings, pr.rho0, sc)
+    )(prob, mem.mpc_scaling)
+    if use_pallas:
+        minv = batched_inverse(m_b, block=kkt_block, interpret=interpret)
+    else:
+        minv = jax.vmap(
+            lambda m: jnp.linalg.inv(m))(m_b)
+
+    sol = jax.vmap(lambda pr, sc, mi: qpx.admm_solve_fixed(
+        pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, cfg.mpc_qp_iters,
+        settings, x0=pr.warm_x, y0=pr.warm_y, rho0=pr.rho0, scaling=sc,
+        kkt_inv=mi))(prob, mem.mpc_scaling, minv)
+
+    return jax.vmap(
+        lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)
+    )(params_b, cs, mem, sol)
+
+
 def randomize_params(key: jax.Array, n: int, base: RobotParams
                      ) -> RobotParams:
     """Per-scenario physical randomization: mass +-20%, inertia +-20%,

@@ -1,0 +1,77 @@
+"""Headline-capability tests mirroring the reference's README claims:
+slopes up to 30 deg (README.md:26) and 9 cm staircase climbing
+(README.md:27), plus disturbance rejection (not claimed by the reference
+but table stakes for a force controller)."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from a1_qp_mpc_controller_tpu.config import load_profile
+from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+from a1_qp_mpc_controller_tpu.sim import terrain as tr
+
+
+def _cfg(mpc_iters=400):
+    cfg, params = load_profile("gazebo_mpc")
+    return dataclasses.replace(cfg, mpc_qp_iters=mpc_iters), params
+
+
+def test_staircase_9cm_climb():
+    cfg, params = _cfg()
+    terr = tr.Terrain.stairs(step_height=0.09, step_len=0.25, start=0.5,
+                             n_steps=6)
+    carry = cl.make_standing_start(cfg, params, terr)
+    joy = cl.joy_schedule(3600, walk_after=400, velx=0.25)
+    carry2, trace = cl.rollout(cfg, params, terr, carry, joy, 3600)
+    rp = np.asarray(trace.root_pos)
+    assert not np.isnan(rp).any()
+    assert rp[-1, 0] > 1.0  # at least two steps climbed
+    terrain_z = 0.09 * np.clip(np.floor(np.maximum(rp[:, 0] - 0.5, 0)
+                                        / 0.25), 0, 6)
+    height = rp[:, 2] - terrain_z
+    # body stays upright above the steps the whole way
+    assert height[800:].min() > 0.15
+    assert height[800:].max() < 0.45
+
+
+def test_slope_30deg_climb():
+    cfg, params = _cfg()
+    terr = tr.Terrain.slope(0.52, start=0.3, length=5.0)
+    carry = cl.make_standing_start(cfg, params, terr)
+    joy = cl.joy_schedule(3000, walk_after=400, velx=0.25)
+    carry2, trace = cl.rollout(cfg, params, terr, carry, joy, 3000)
+    rp = np.asarray(trace.root_pos)
+    assert not np.isnan(rp).any()
+    assert rp[-1, 0] > 0.8
+    tz = np.tan(0.52) * np.clip(rp[:, 0] - 0.3, 0, 5)
+    height = rp[:, 2] - tz
+    assert height[800:].min() > 0.15
+    # terrain adaptation pitches the body into the slope, clamped at the
+    # reference's +-0.5 rad (A1RobotControl.cpp:347-351)
+    pitch = np.asarray(trace.root_euler_est)[-500:, 1]
+    assert pitch.mean() < -0.3
+    assert pitch.min() > -0.55
+
+
+def test_push_recovery_during_trot():
+    """Lateral impulse mid-trot: the controller must recover (Raibert
+    placement + GRF moments), not fall."""
+    cfg, params = _cfg()
+    terr = tr.Terrain.flat()
+    carry = cl.make_standing_start(cfg, params, terr)
+    joy = cl.joy_schedule(1200, walk_after=300, velx=0.2)
+    carry, _ = cl.rollout(cfg, params, terr, carry, joy, 1200)
+    # shove: 0.35 m/s sideways velocity step (~4 N s impulse)
+    carry = carry.replace(ps=carry.ps.replace(
+        root_lin_vel=carry.ps.root_lin_vel + jnp.array([0.0, 0.35, 0.0])))
+    joy2 = cl.joy_schedule(1200, walk_after=0, velx=0.2)
+    carry, trace = cl.rollout(cfg, params, terr, carry, joy2, 1200)
+    rp = np.asarray(trace.root_pos)
+    eu = np.asarray(trace.root_euler_est)
+    assert not np.isnan(rp).any()
+    assert np.abs(rp[:, 2] - 0.3).max() < 0.08       # stayed up
+    assert np.abs(eu[-400:, 0]).max() < 0.1          # roll recovered
+    vy = np.asarray(trace.root_lin_vel)[-400:, 1]
+    assert np.abs(vy).mean() < 0.08                  # lateral vel damped

@@ -86,6 +86,58 @@ def test_sharded_batched_rollout():
     assert len(shard_devs) == 8
 
 
+def test_split_batched_tick_matches_vmapped():
+    """batched_control_tick (the Pallas-hoisted path) must equal
+    vmap(control_tick) exactly in its cholesky route, and match in the
+    pallas-interpret route."""
+    import jax.tree_util as jtu
+    from a1_qp_mpc_controller_tpu.control.controller import control_tick
+    from a1_qp_mpc_controller_tpu.types import (
+        CtrlMem, CtrlState, JoyCmd, SensorData,
+    )
+    cfg, params = bench_cfg()
+    B = 3
+    pb = batched.randomize_params(jax.random.PRNGKey(0), B, params)
+    cs = jax.vmap(lambda _: CtrlState.init(cfg, params))(jnp.arange(B))
+    cs = cs.replace(
+        root_pos=jnp.tile(jnp.array([0.0, 0, 0.3]), (B, 1)),
+        foot_pos_abs=jnp.broadcast_to(params.default_foot_pos, (B, 4, 3)),
+        contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
+                                  (B, 4)))
+    mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(B))
+    sens = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(B))
+    sens = sens.replace(
+        root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (B, 4)),
+        foot_force=jnp.full((B, 4), 60.0))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+    _, _, ref_tq = jax.vmap(
+        lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt))(
+        pb, cs, mem, sens)
+    _, _, sp_tq = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(sp_tq), np.asarray(ref_tq))
+    _, _, pl_tq = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt, use_pallas=True, interpret=True,
+        kkt_block=3)
+    np.testing.assert_allclose(np.asarray(pl_tq), np.asarray(ref_tq),
+                               atol=1e-4)
+    del jtu
+
+
+def test_pallas_gj_inverse_interpret(rng):
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import batched_inverse
+    B, n = 5, 120
+    a = rng.standard_normal((B, n, n)).astype(np.float32)
+    m = np.einsum("bij,bkj->bik", a, a) / n + 0.1 * np.eye(n)[None]
+    out = np.asarray(batched_inverse(jnp.asarray(m), block=2,
+                                     interpret=True))
+    resid = np.abs(np.einsum("bij,bjk->bik", out, m)
+                   - np.eye(n)[None]).max()
+    assert resid < 1e-4
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
