@@ -33,9 +33,13 @@ def joystick_update(cfg: A1Config, params: RobotParams, cs: CtrlState,
     root_euler_d = cs.root_euler_d + root_ang_vel_d * dt
     root_pos_d = cs.root_pos_d.at[2].set(height)
 
-    walking = ctrl_state == 1
+    # kill switch (reference: joystick LB -> thread exit + ros::shutdown,
+    # GazeboA1ROS.cpp:405-408; here: latch standstill + zero velocity)
+    walking = (ctrl_state == 1) & (~joy.exit)
     leaving_walk = (~walking) & (prev_state == 1)
     movement_mode = jnp.where(walking, 1, 0).astype(jnp.int32)
+    root_lin_vel_d = jnp.where(joy.exit, 0.0, root_lin_vel_d)
+    root_ang_vel_d = jnp.where(joy.exit, 0.0, root_ang_vel_d)
 
     # position locking (GazeboA1ROS.cpp:167-188)
     lock_gains = params.kp_linear_lock_xy.astype(dtype)

@@ -80,9 +80,35 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
     ], axis=-2)
 
 
-def pseudo_inverse_3x3(m: jnp.ndarray, rcond: float = 1e-6) -> jnp.ndarray:
-    """SVD pseudo-inverse of a 3x3 (Utils.cpp:44-52)."""
-    return jnp.linalg.pinv(m, rtol=rcond)
+def pseudo_inverse_3x3(m: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Regularized closed-form inverse of a 3x3 SPD matrix.
+
+    Stands in for the reference's SVD pseudo-inverse (Utils.cpp:44-52),
+    which it only ever applies to the SPD normal matrix W'W of the terrain
+    plane fit (A1RobotControl.cpp:578). A Tikhonov ridge handles the
+    rank-deficient case (collinear contact points) that the SVD cutoff
+    handled; adjugate/determinant is closed-form VPU work, whereas SVD on
+    TPU lowers to an expensive iterative kernel."""
+    m = m + eps * jnp.trace(m)[..., None, None] * jnp.eye(3, dtype=m.dtype)
+    # adjugate
+    a = m
+    cof = jnp.stack([
+        jnp.stack([a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1],
+                   a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
+                   a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]],
+                  -1),
+        jnp.stack([a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2],
+                   a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
+                   a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]],
+                  -1),
+        jnp.stack([a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0],
+                   a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
+                   a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]],
+                  -1),
+    ], axis=-2)
+    det = (a[..., 0, 0] * cof[..., 0, 0] + a[..., 0, 1] * cof[..., 1, 0]
+           + a[..., 0, 2] * cof[..., 2, 0])
+    return cof / det[..., None, None]
 
 
 def cal_dihedral_angle(n1: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndarray:

@@ -107,6 +107,40 @@ def test_covariance_stays_symmetric_psd():
     assert eigs.min() > -1e-5
 
 
+def test_non_flat_ground_mode_ignores_height_rows():
+    """assume_flat_ground=False inflates the foot-height measurement noise
+    to 1e5 (A1BasicEKF.cpp:49-53): on non-flat terrain the z estimate then
+    follows leg odometry instead of being pulled to z=0."""
+    import dataclasses
+    cfg, params = load_profile("gazebo_mpc")
+    cfg_off = dataclasses.replace(cfg, assume_flat_ground=False)
+    true_z = 0.3
+    foot_rel = params.default_foot_pos.at[:, 2].set(-true_z)
+    # feet are actually 0.2 m above world zero (standing on a ledge)
+    base = CtrlState.init(cfg, params).replace(
+        foot_pos_rel=foot_rel,
+        imu_acc=jnp.array([0.0, 0.0, 9.81]),
+        foot_force=jnp.full((4,), 100.0),
+        movement_mode=jnp.int32(0),
+    )
+    for cfg_i, expect_pull in ((cfg, True), (cfg_off, False)):
+        cs = base
+        ekf, cs = estimator.step(cfg_i, params, cs, CtrlMem.init(cfg_i).ekf,
+                                 jnp.float32(0.0025))
+        # seed the body z estimate high (as if on a ledge)
+        ekf = ekf.replace(x=ekf.x.at[2].set(0.5).at[8::3].set(0.2))
+        for _ in range(400):
+            ekf, cs = estimator.step(cfg_i, params, cs, ekf,
+                                     jnp.float32(0.0025))
+        z = float(cs.root_pos[2])
+        if expect_pull:
+            # flat-ground rows drag foot z (and thus body z) toward 0
+            assert z < 0.45
+        else:
+            # without them the ledge height persists
+            assert z > 0.45
+
+
 def test_vmaps_over_batch():
     cfg, params, cs, mem = setup()
     batch = 3

@@ -70,6 +70,34 @@ def test_calibration_derivative_shapes(rng):
     assert kin.dJ_drho(q, p.rho_opt[0], p.rho_fix[0]).shape == (9, 3)
 
 
+def test_calibration_derivatives_match_finite_difference(rng):
+    """The autodiff replacements for the reference's MATLAB-generated
+    dJ_dq / dfk_drho / dJ_drho (A1Kinematics.h:22-30) against central
+    finite differences."""
+    p = params()
+    q = jnp.asarray(rng.uniform(-0.8, 0.8, 3), jnp.float32)
+    eps = 1e-3
+    djdq = np.asarray(kin.dJ_dq(q, p.rho_opt[0], p.rho_fix[0]))
+    dfk = np.asarray(kin.dfk_drho(q, p.rho_opt[0], p.rho_fix[0]))
+    djr = np.asarray(kin.dJ_drho(q, p.rho_opt[0], p.rho_fix[0]))
+    for k in range(3):
+        dq = np.zeros(3, np.float32)
+        dq[k] = eps
+        jp = np.asarray(kin.jac(q + dq, p.rho_opt[0], p.rho_fix[0]))
+        jm = np.asarray(kin.jac(q - dq, p.rho_opt[0], p.rho_fix[0]))
+        np.testing.assert_allclose(((jp - jm) / (2 * eps)).reshape(-1),
+                                   djdq[:, k], atol=2e-2)
+        dr = jnp.zeros(3).at[k].set(eps)
+        fp = np.asarray(kin.fk(q, p.rho_opt[0] + dr, p.rho_fix[0]))
+        fm = np.asarray(kin.fk(q, p.rho_opt[0] - dr, p.rho_fix[0]))
+        np.testing.assert_allclose((fp - fm) / (2 * eps), dfk[:, k],
+                                   atol=2e-2)
+        jp = np.asarray(kin.jac(q, p.rho_opt[0] + dr, p.rho_fix[0]))
+        jm = np.asarray(kin.jac(q, p.rho_opt[0] - dr, p.rho_fix[0]))
+        np.testing.assert_allclose(((jp - jm) / (2 * eps)).reshape(-1),
+                                   djr[:, k], atol=2e-2)
+
+
 def test_rho_opt_offset_moves_foot():
     """Contact offset rho_opt displaces the foot by exactly that vector in
     the calf frame (rotated by the leg chain)."""
