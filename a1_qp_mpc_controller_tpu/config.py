@@ -114,6 +114,13 @@ class A1Config:
     # latency single-scenario). 'fixed': lock-step fixed-iteration solve
     # with cross-tick warm-start + rho carry (batched throughput path).
     mpc_solver_mode: str = "adaptive"
+    # Advance the horizon's foot positions with the commanded velocity
+    # (per-step B matrices). The reference's production path reuses one B
+    # for all steps (A1RobotControl.cpp:498-514) while its test harness
+    # uses receding footholds (test_mpc.cpp:106-122) and the production
+    # version is left commented out (A1RobotControl.cpp:504-507); default
+    # False preserves production parity.
+    mpc_receding_footholds: bool = False
     # number of warm-up ticks emitting zero torque (A1RobotControl.cpp:292-295)
     torque_warmup_ticks: int = 10
     # hardware command safety (Safety::PositionLimit / PowerProtect analogs,

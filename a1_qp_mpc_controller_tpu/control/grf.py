@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -212,12 +213,26 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
         cs.root_ang_vel_d, lin_vel_d_world, mpc_dt, cfg.horizon)
 
     a_c = srb.continuous_a(cs.root_euler)
-    b_c = srb.continuous_b(params.robot_mass, params.trunk_inertia,
-                           cs.root_rot_mat, cs.foot_pos_abs)
-    _, b_d = srb.discretize(a_c, b_c, mpc_dt)
-    # production path: one B for the whole horizon
-    # (A1RobotControl.cpp:498-514) — block-Toeplitz fast path
-    a_qp, b_qp = srb.condense_same_b(a_c, b_d, mpc_dt, cfg.horizon)
+    if cfg.mpc_receding_footholds:
+        # per-step B: feet recede relative to the body as it advances at
+        # the commanded velocity (the reference's test-harness variant,
+        # test_mpc.cpp:106-122; left commented out in production,
+        # A1RobotControl.cpp:504-507)
+        steps = jnp.arange(cfg.horizon, dtype=dtype) * mpc_dt  # (H,)
+        feet_h = (cs.foot_pos_abs[None, :, :]
+                  - steps[:, None, None] * lin_vel_d_world[None, None, :])
+        b_c_list = jax.vmap(lambda fp: srb.continuous_b(
+            params.robot_mass, params.trunk_inertia, cs.root_rot_mat, fp)
+        )(feet_h)
+        b_d_list = b_c_list * mpc_dt
+        a_qp, b_qp = srb.condense(a_c, b_d_list, mpc_dt, cfg.horizon)
+    else:
+        b_c = srb.continuous_b(params.robot_mass, params.trunk_inertia,
+                               cs.root_rot_mat, cs.foot_pos_abs)
+        _, b_d = srb.discretize(a_c, b_c, mpc_dt)
+        # production path: one B for the whole horizon
+        # (A1RobotControl.cpp:498-514) — block-Toeplitz fast path
+        a_qp, b_qp = srb.condense_same_b(a_c, b_d, mpc_dt, cfg.horizon)
     p_mat, q_vec = srb.mpc_cost(a_qp, b_qp, params.q_weights,
                                 params.r_weights, mpc_states, x_ref,
                                 cfg.horizon)

@@ -43,6 +43,22 @@ def shard_batch(tree, mesh: Mesh, axis_name: str = SCENARIO_AXIS):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
 
 
+def make_host_chip_mesh(axis_names=("host", SCENARIO_AXIS)) -> Mesh:
+    """2-D (hosts x local chips) mesh for multi-host pods: the scenario
+    batch shards over BOTH axes (each chip still owns a local block), but
+    keeping the host axis explicit lets metric reductions run as a local
+    ICI psum followed by one small DCN reduction, instead of an
+    all-to-all over DCN. On a single host this degenerates to (1, n)."""
+    n_hosts = jax.process_count()
+    devs = np.array(jax.devices()).reshape(n_hosts, -1)
+    return Mesh(devs, axis_names)
+
+
+def host_chip_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading scenario axis across hosts x chips jointly."""
+    return NamedSharding(mesh, P(mesh.axis_names))
+
+
 def multihost_init() -> None:
     """Initialize jax.distributed when launched across hosts (no-op in a
     single-process environment)."""

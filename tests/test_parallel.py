@@ -24,6 +24,16 @@ def test_mesh_has_8_devices():
     assert mesh.shape["scenario"] == 8
 
 
+def test_host_chip_mesh_single_process():
+    mesh = meshmod.make_host_chip_mesh()
+    assert mesh.shape["host"] == 1
+    assert mesh.shape["scenario"] == 8
+    sh = meshmod.host_chip_sharding(mesh)
+    x = jax.device_put(jnp.arange(16.0).reshape(16, 1), sh)
+    assert float(x.sum()) == 120.0
+    assert len({s.device for s in x.addressable_shards}) == 8
+
+
 def test_randomize_params_shapes_and_ranges():
     cfg, params = bench_cfg()
     pb = batched.randomize_params(jax.random.PRNGKey(0), 16, params)
