@@ -68,9 +68,10 @@ def control_tick_jit(cfg: A1Config, params: RobotParams, cs: CtrlState,
 
 def control_tick_build(cfg: A1Config, params: RobotParams, cs: CtrlState,
                        mem: CtrlMem, sensors: SensorData, joy: JoyCmd,
-                       dt: jnp.ndarray):
+                       dt: jnp.ndarray, with_a_mat: bool = True):
     """Everything before the MPC solve; returns (cs, mem, MpcProblem).
-    MPC profiles only."""
+    MPC profiles only. ``with_a_mat=False`` skips materializing the
+    per-scenario constraint matrix (shared-basis solver route)."""
     assert cfg.stance_leg_control_type == 1, "split tick is MPC-only"
     cs, mem = ingest_sensors(cfg, params, cs, mem, sensors)
     if not cfg.use_estimator:
@@ -83,7 +84,7 @@ def control_tick_build(cfg: A1Config, params: RobotParams, cs: CtrlState,
         ekf, cs = estimator.step(cfg, params, cs, mem.ekf, dt)
         mem = mem.replace(ekf=ekf)
     cs, mem = grf.terrain_adaptation(cfg, cs, mem)
-    prob = grf.mpc_problem(cfg, params, cs, mem, dt)
+    prob = grf.mpc_problem(cfg, params, cs, mem, dt, with_a_mat=with_a_mat)
     return cs, mem, prob
 
 

@@ -183,11 +183,15 @@ class MpcProblem(struct.PyTreeNode):
     """One tick's condensed MPC QP + warm-start data. Produced by
     :func:`mpc_problem`, consumed by a solver, finished by
     :func:`mpc_apply_solution` — split out so batched executors can hoist
-    the solve (e.g. the Pallas batched KKT inverse) out of ``vmap``."""
+    the solve (e.g. the Pallas batched KKT inverse) out of ``vmap``.
+
+    ``a_mat`` is None when built with ``with_a_mat=False`` (the
+    shared-basis solver route never materializes the per-scenario
+    constraint matrix: A = A0 + mu*A1, srb.friction_constraint_basis)."""
 
     p_mat: jnp.ndarray   # (120,120)
     q_vec: jnp.ndarray   # (120,)
-    a_mat: jnp.ndarray   # (200,120)
+    a_mat: jnp.ndarray | None   # (200,120) or None
     lb: jnp.ndarray      # (200,)
     ub: jnp.ndarray      # (200,)
     warm_x: jnp.ndarray  # (120,)
@@ -196,7 +200,8 @@ class MpcProblem(struct.PyTreeNode):
 
 
 def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
-                mem: CtrlMem, dt: jnp.ndarray) -> MpcProblem:
+                mem: CtrlMem, dt: jnp.ndarray,
+                with_a_mat: bool = True) -> MpcProblem:
     """Build the tick's MPC QP (A1RobotControl.cpp:446-518 + warm-start
     bookkeeping). Pure — no state updates."""
     dtype = cs.root_pos.dtype
@@ -236,8 +241,8 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
     p_mat, q_vec = srb.mpc_cost(a_qp, b_qp, params.q_weights,
                                 params.r_weights, mpc_states, x_ref,
                                 cfg.horizon)
-    a_mat = srb.friction_constraint_matrix(params.mu_mpc, cfg.horizon,
-                                           dtype)
+    a_mat = (srb.friction_constraint_matrix(params.mu_mpc, cfg.horizon,
+                                            dtype) if with_a_mat else None)
     lb, ub = srb.mpc_bounds(cs.contacts, params.fz_min, params.fz_max,
                             cfg.horizon, dtype)
 

@@ -191,6 +191,40 @@ def friction_constraint_matrix(mu: jnp.ndarray, horizon: int = PLAN_HORIZON,
     return mat.reshape(n_blk * 5, n_blk * 3)
 
 
+def friction_constraint_basis(horizon: int = PLAN_HORIZON,
+                              dtype=jnp.float32):
+    """Shared decomposition of the MPC constraint matrix: A(mu) = A0 + mu*A1
+    with A0/A1 CONSTANT (no scenario dependence). Lets batched executors
+    express every A-product as a scenario-rows x shared-matrix MXU matmul
+    and skip materializing the (H*20, H*12) matrix per scenario."""
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    base_block = jnp.stack([
+        jnp.stack([one, zero, zero]),
+        jnp.stack([one, zero, zero]),
+        jnp.stack([zero, one, zero]),
+        jnp.stack([zero, one, zero]),
+        jnp.stack([zero, zero, one]),
+    ])  # (5,3)
+    mu_block = jnp.stack([
+        jnp.stack([zero, zero, one]),
+        jnp.stack([zero, zero, -one]),
+        jnp.stack([zero, zero, one]),
+        jnp.stack([zero, zero, -one]),
+        jnp.stack([zero, zero, zero]),
+    ])
+    n_blk = horizon * NUM_LEG
+    idx = jnp.arange(n_blk)
+
+    def expand(block):
+        mat = jnp.zeros((n_blk, 5, n_blk, 3), dtype)
+        mat = mat.at[idx, :, idx, :].set(jnp.broadcast_to(block,
+                                                          (n_blk, 5, 3)))
+        return mat.reshape(n_blk * 5, n_blk * 3)
+
+    return expand(base_block), expand(mu_block)
+
+
 def mpc_bounds(contacts: jnp.ndarray, fz_min: jnp.ndarray,
                fz_max: jnp.ndarray, horizon: int = PLAN_HORIZON,
                dtype=jnp.float32):

@@ -1,16 +1,22 @@
 """Pallas TPU kernels for the batched solver hot path.
 
-The batched KKT factorization is the dominant per-tick cost after the
-equilibration precompute (XLA's batched 120x120 Cholesky + triangular
-solves measured ~54 ms for 1024 scenarios on v5e — hundreds of small
-launch-bound kernels). :func:`batched_inverse` replaces it with one kernel:
-a Gauss-Jordan inversion vectorized across a block of scenarios, so every
-one of the n pivot steps is a wide (S, n, n) VPU rank-1 update instead of a
-scalar-ish row operation. No pivoting is needed: the KKT matrix
-P + sigma I + A' diag(rho) A is symmetric positive definite.
+Two kernels:
 
-Matrices are padded to 128 (the TPU lane width) with identity so the padded
-inverse equals the padded-identity inverse of the original.
+- :func:`batched_inverse` — Gauss-Jordan inversion of a block of SPD KKT
+  matrices in lock-step (every pivot step is a wide (S, n, n) VPU rank-1
+  update). The KKT matrix P + sigma I + A' diag(rho) A is SPD, so no
+  pivoting is needed.
+- :func:`fused_admm` — the WHOLE fixed-iteration ADMM loop as one kernel.
+  The iteration-major XLA loop re-reads each scenario's (120,120) KKT
+  inverse and (200,120) constraint matrix from HBM on every one of the
+  ~50 iterations (50 x ~150 MB at batch 1024); this kernel is
+  scenario-major — each grid step pins a block of scenarios' operands in
+  VMEM and runs all iterations there, so HBM traffic drops by ~iters x.
+  Per-scenario matvecs become (S, m, n) broadcast-multiply + axis
+  reductions: pure whole-block VPU work.
+
+Matrices are padded to 128 (the TPU lane width); padding is constructed so
+padded entries stay exactly zero through the iteration (see _pad notes).
 """
 
 from __future__ import annotations
@@ -98,3 +104,315 @@ def batched_inverse(m: jnp.ndarray, block: int = 8,
         interpret=interpret,
     )(mm)
     return out[:b, :n, :n]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fused_admm_kernel(minv_ref, a_ref, q_ref, l_ref, u_ref, rho_ref,
+                       x0_ref, y0_ref, z0_ref, xo_ref, yo_ref, zo_ref,
+                       *, iters: int, sigma: float, alpha: float):
+    """All `iters` ADMM iterations for a block of S scenarios, operands
+    resident in VMEM. Same update as ops.qp.admm_solve's one_iter (scaled
+    space, fixed rho); matvecs with per-scenario matrices are expressed as
+    broadcast-multiply + axis reductions (VPU-shaped)."""
+    m = minv_ref[:]          # (S, n, n)   KKT inverse
+    a = a_ref[:]             # (S, M, n)   scaled constraint matrix
+    q = q_ref[:]             # (S, n)
+    lb = l_ref[:]            # (S, M)
+    ub = u_ref[:]            # (S, M)
+    rho = rho_ref[:]         # (S, M)
+    inv_rho = 1.0 / rho
+
+    def one_iter(_, xyz):
+        x, y, z = xyz
+        w = rho * z - y                                       # (S,M)
+        rhs = sigma * x - q + jnp.sum(a * w[:, :, None], axis=1)
+        xt = jnp.sum(m * rhs[:, None, :], axis=2)             # Minv @ rhs
+        x1 = alpha * xt + (1.0 - alpha) * x
+        ax = jnp.sum(a * xt[:, None, :], axis=2)              # A @ xt
+        zp = alpha * ax + (1.0 - alpha) * z
+        z1 = jnp.clip(zp + y * inv_rho, lb, ub)
+        y1 = y + rho * (zp - z1)
+        return x1, y1, z1
+
+    x, y, z = jax.lax.fori_loop(
+        0, iters, one_iter, (x0_ref[:], y0_ref[:], z0_ref[:]))
+    xo_ref[:] = x
+    yo_ref[:] = y
+    zo_ref[:] = z
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "sigma", "alpha",
+                                             "block", "interpret"))
+def fused_admm(minv: jnp.ndarray, a_s: jnp.ndarray, qs: jnp.ndarray,
+               ls: jnp.ndarray, us: jnp.ndarray, rho_vec: jnp.ndarray,
+               x0: jnp.ndarray, y0: jnp.ndarray, z0: jnp.ndarray,
+               *, iters: int, sigma: float = 1e-6, alpha: float = 1.6,
+               block: int = 16, interpret: bool = False):
+    """Run `iters` lock-step ADMM iterations for B scenarios.
+
+    All operands are in the SCALED problem space (post Ruiz equilibration),
+    exactly as inside ops.qp.admm_solve:
+      minv (B,n,n), a_s (B,m,n), qs (B,n), ls/us/rho_vec (B,m),
+      x0 (B,n), y0/z0 (B,m).
+    Returns scaled (x, y, z).
+
+    Padding invariants: n -> n_pad with zero rows/cols of minv/a_s/qs (a
+    padded x entry stays 0: minv's padded rows are zero). m -> m_pad with
+    zero a_s rows, l = u = 0, rho = 1 (a padded (y, z) pair starts at 0 and
+    stays 0: zt = 0, z1 = clip(zp + y, 0, 0) = 0, y1 = y + zp).
+    """
+    b, n = qs.shape
+    mcon = ls.shape[1]
+    n_pad = _round_up(max(n, LANE), LANE)
+    m_pad = _round_up(max(mcon, LANE), LANE)
+    b_pad = _round_up(b, block)
+    dtype = qs.dtype
+
+    def pad3(x, d1, d2):
+        out = jnp.zeros((b_pad, d1, d2), dtype)
+        return out.at[:b, :x.shape[1], :x.shape[2]].set(x)
+
+    def pad2(x, d1, fill=0.0):
+        out = jnp.full((b_pad, d1), fill, dtype)
+        return out.at[:b, :x.shape[1]].set(x)
+
+    minv_p = pad3(minv, n_pad, n_pad)
+    a_p = pad3(a_s, m_pad, n_pad)
+    q_p = pad2(qs, n_pad)
+    l_p = pad2(ls, m_pad)
+    u_p = pad2(us, m_pad)
+    rho_p = pad2(rho_vec, m_pad, fill=1.0)
+    x_p = pad2(x0, n_pad)
+    y_p = pad2(y0, m_pad)
+    z_p = pad2(z0, m_pad)
+
+    grid = (b_pad // block,)
+    spec3 = lambda d1, d2: pl.BlockSpec((block, d1, d2),
+                                        lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    spec2 = lambda d1: pl.BlockSpec((block, d1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_fused_admm_kernel, iters=iters,
+                             sigma=float(sigma), alpha=float(alpha))
+    x, y, z = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, n_pad), dtype),
+            jax.ShapeDtypeStruct((b_pad, m_pad), dtype),
+            jax.ShapeDtypeStruct((b_pad, m_pad), dtype),
+        ),
+        grid=grid,
+        in_specs=[spec3(n_pad, n_pad), spec3(m_pad, n_pad),
+                  spec2(n_pad), spec2(m_pad), spec2(m_pad), spec2(m_pad),
+                  spec2(n_pad), spec2(m_pad), spec2(m_pad)],
+        out_specs=(spec2(n_pad), spec2(m_pad), spec2(m_pad)),
+        interpret=interpret,
+    )(minv_p, a_p, q_p, l_p, u_p, rho_p, x_p, y_p, z_p)
+    return x[:b, :n], y[:b, :mcon], z[:b, :mcon]
+
+
+def _sweep_inverse_kernel(m_ref, out_ref):
+    """SPD inversion via the symmetric sweep operator: sweeping every
+    pivot of an SPD matrix yields -A^-1 (Goodnight 1979), and — unlike
+    Gauss-Jordan with a separate identity — the working matrix stays
+    SYMMETRIC, so the pivot column equals the pivot row and one array
+    suffices. Per pivot: one masked row-extraction and one rank-1 FMA
+    over the (S, n, n) block (vs ~6 full passes over two arrays for GJ).
+    SPD => pivots are Schur-complement diagonals, all positive: no
+    pivoting needed."""
+    s, n, _ = m_ref.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, n, n), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (s, n, n), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s, n), 1)
+
+    def step(k, a):
+        at_row = row_ids == k
+        at_col = col_ids == k
+        r = jnp.sum(jnp.where(at_row, a, 0.0), axis=1)          # (S,n)
+        d = jnp.sum(jnp.where(lane == k, r, 0.0), axis=1,
+                    keepdims=True)                              # (S,1)
+        inv_d = 1.0 / d
+        rd = r * inv_d                                          # (S,n)
+        upd = a - (r[:, :, None] * rd[:, None, :])              # rank-1
+        out = jnp.where(at_row, rd[:, None, :], upd)
+        out = jnp.where(at_col, rd[:, :, None], out)
+        out = jnp.where(at_row & at_col, -inv_d[:, :, None], out)
+        return out
+
+    out_ref[:] = -jax.lax.fori_loop(0, n, step, m_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def batched_inverse_spd(m: jnp.ndarray, block: int = 8,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Invert a batch of SPD matrices with the sweep-operator kernel:
+    (B, n, n) -> (B, n, n). Same contract as :func:`batched_inverse` but
+    ~2x less VMEM traffic (exploits symmetry)."""
+    b, n, _ = m.shape
+    n_pad = max(LANE, ((n + LANE - 1) // LANE) * LANE)
+    b_pad = ((b + block - 1) // block) * block
+    mm = jnp.zeros((b_pad, n_pad, n_pad), m.dtype)
+    mm = mm.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+    mm = mm.at[:b, :n, :n].set(m)
+
+    out = pl.pallas_call(
+        _sweep_inverse_kernel,
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad), m.dtype),
+        grid=(b_pad // block,),
+        in_specs=[pl.BlockSpec((block, n_pad, n_pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, n_pad, n_pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(mm)
+    return out[:b, :n, :n]
+
+
+def _fused_admm_shared_kernel(a0_ref, a1_ref, minv_ref, d_ref,
+                              e_ref, me_ref, q_ref, l_ref, u_ref, rho_ref,
+                              x0_ref, y0_ref, z0_ref,
+                              xo_ref, yo_ref, zo_ref,
+                              *, iters: int, sigma: float, alpha: float):
+    """fused_admm with the constraint matrix in shared-basis form
+    A_s = diag(e_s) (A0 + mu_s A1) diag(d_s):
+
+    - the two A-products per iteration become scenario-rows x shared-matrix
+      MXU matmuls ((S,M)@(M,n) / (S,n)@(n,M) via dot_general) instead of
+      per-scenario broadcast-reductions;
+    - the only per-scenario matvec left is with the KKT inverse, which is
+      SYMMETRIC — so it reduces over the sublane axis (cheap) rather than
+      the lane axis.
+
+    mu is pre-folded into ``me = mu * e`` so every operand is a clean
+    (S, n|M) tile: As' v = D (A0'(e v) + A1'(mu e v)),
+    As x = e (A0 (D x)) + mu e (A1 (D x)).
+    """
+    a0 = a0_ref[:]           # (M, n) shared
+    a1 = a1_ref[:]           # (M, n) shared
+    m = minv_ref[:]          # (S, n, n) symmetric KKT inverse
+    d = d_ref[:]             # (S, n)
+    e = e_ref[:]             # (S, M)
+    me = me_ref[:]           # (S, M)  = mu * e
+    q = q_ref[:]             # (S, n)
+    lb = l_ref[:]            # (S, M)
+    ub = u_ref[:]            # (S, M)
+    rho = rho_ref[:]         # (S, M)
+    inv_rho = 1.0 / rho
+
+    f32 = jnp.float32
+    contract_m = (((1,), (0,)), ((), ()))   # (S,M)@(M,n) -> (S,n)
+    contract_n = (((1,), (1,)), ((), ()))   # (S,n)@(M,n)' -> (S,M)
+
+    def one_iter(_, xyz):
+        x, y, z = xyz
+        w = rho * z - y                                        # (S,M)
+        atw = (jax.lax.dot_general(e * w, a0, contract_m,
+                                   preferred_element_type=f32)
+               + jax.lax.dot_general(me * w, a1, contract_m,
+                                     preferred_element_type=f32))
+        rhs = sigma * x - q + d * atw                          # (S,n)
+        xt = jnp.sum(m * rhs[:, :, None], axis=1)              # sym Minv
+        x1 = alpha * xt + (1.0 - alpha) * x
+        xd = d * xt
+        ax = (e * jax.lax.dot_general(xd, a0, contract_n,
+                                      preferred_element_type=f32)
+              + me * jax.lax.dot_general(xd, a1, contract_n,
+                                         preferred_element_type=f32))
+        zp = alpha * ax + (1.0 - alpha) * z
+        z1 = jnp.clip(zp + y * inv_rho, lb, ub)
+        y1 = y + rho * (zp - z1)
+        return x1, y1, z1
+
+    x, y, z = jax.lax.fori_loop(
+        0, iters, one_iter, (x0_ref[:], y0_ref[:], z0_ref[:]))
+    xo_ref[:] = x
+    yo_ref[:] = y
+    zo_ref[:] = z
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "sigma", "alpha",
+                                             "block", "interpret"))
+def fused_admm_shared(a0: jnp.ndarray, a1: jnp.ndarray, minv: jnp.ndarray,
+                      mu: jnp.ndarray, d: jnp.ndarray, e: jnp.ndarray,
+                      qs: jnp.ndarray, ls: jnp.ndarray, us: jnp.ndarray,
+                      rho_vec: jnp.ndarray,
+                      x0: jnp.ndarray, y0: jnp.ndarray, z0: jnp.ndarray,
+                      *, iters: int, sigma: float = 1e-6,
+                      alpha: float = 1.6, block: int = 32,
+                      interpret: bool = False):
+    """Batched fixed-iteration ADMM where the (unscaled) constraint matrix
+    has the shared-basis form A_s = A0 + mu_s A1 and Ruiz scaling (d_s,
+    e_s) is applied implicitly. ``minv`` must be the SYMMETRIC scaled-KKT
+    inverse. Scaled-space x0/y0/z0 in, scaled (x, y, z) out.
+
+    Padding: n and m padded to 128 multiples; pad rows get l = u = 0,
+    rho = 1, e = 0 (so padded constraint rows contribute nothing), pad
+    cols get d = 0, q = 0, zero minv rows/cols (padded x entries stay 0).
+    """
+    b, n = qs.shape
+    mcon = ls.shape[1]
+    n_pad = _round_up(max(n, LANE), LANE)
+    m_pad = _round_up(max(mcon, LANE), LANE)
+    b_pad = _round_up(b, block)
+    dtype = qs.dtype
+
+    def pad_shared(x):
+        out = jnp.zeros((m_pad, n_pad), dtype)
+        return out.at[:x.shape[0], :x.shape[1]].set(x)
+
+    def pad3(x, d1, d2):
+        out = jnp.zeros((b_pad, d1, d2), dtype)
+        return out.at[:b, :x.shape[1], :x.shape[2]].set(x)
+
+    def pad2(x, d1, fill=0.0):
+        out = jnp.full((b_pad, d1), fill, dtype)
+        return out.at[:b, :x.shape[1]].set(x)
+
+    a0_p = pad_shared(a0)
+    a1_p = pad_shared(a1)
+    minv_p = pad3(minv, n_pad, n_pad)
+    d_p = pad2(d, n_pad)
+    e_p = pad2(e, m_pad)
+    me_p = pad2(mu[:, None] * e, m_pad)
+    q_p = pad2(qs, n_pad)
+    l_p = pad2(ls, m_pad)
+    u_p = pad2(us, m_pad)
+    rho_p = pad2(rho_vec, m_pad, fill=1.0)
+    x_p = pad2(x0, n_pad)
+    y_p = pad2(y0, m_pad)
+    z_p = pad2(z0, m_pad)
+
+    grid = (b_pad // block,)
+    shared_spec = pl.BlockSpec((m_pad, n_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+    spec3 = lambda d1, d2: pl.BlockSpec((block, d1, d2),
+                                        lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    spec2 = lambda d1: pl.BlockSpec((block, d1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_fused_admm_shared_kernel, iters=iters,
+                             sigma=float(sigma), alpha=float(alpha))
+    x, y, z = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, n_pad), dtype),
+            jax.ShapeDtypeStruct((b_pad, m_pad), dtype),
+            jax.ShapeDtypeStruct((b_pad, m_pad), dtype),
+        ),
+        grid=grid,
+        in_specs=[shared_spec, shared_spec, spec3(n_pad, n_pad),
+                  spec2(n_pad), spec2(m_pad), spec2(m_pad),
+                  spec2(n_pad), spec2(m_pad), spec2(m_pad), spec2(m_pad),
+                  spec2(n_pad), spec2(m_pad), spec2(m_pad)],
+        out_specs=(spec2(n_pad), spec2(m_pad), spec2(m_pad)),
+        interpret=interpret,
+    )(a0_p, a1_p, minv_p, d_p, e_p, me_p, q_p, l_p, u_p, rho_p,
+      x_p, y_p, z_p)
+    return x[:b, :n], y[:b, :mcon], z[:b, :mcon]

@@ -339,18 +339,7 @@ def admm_solve(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
 
     # final rho estimate (scaled residual ratio, no 5x threshold) so callers
     # can carry a tuned stepsize into the next warm-started solve
-    ax = jnp.matmul(As, x, precision=_HIGH)
-    px = jnp.matmul(Ps, x, precision=_HIGH)
-    aty = jnp.matmul(As.T, y, precision=_HIGH)
-    div_tol = 1e-12
-    rp_rel = jnp.max(jnp.abs(ax - z)) / jnp.maximum(jnp.maximum(
-        jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z))), div_tol)
-    rd_rel = jnp.max(jnp.abs(px + qs + aty)) / jnp.maximum(
-        jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
-                                jnp.max(jnp.abs(aty))),
-                    jnp.max(jnp.abs(qs))), div_tol)
-    rho_est = jnp.clip(rho * jnp.sqrt(rp_rel / jnp.maximum(rd_rel, div_tol)),
-                       RHO_MIN, RHO_MAX)
+    rho_est = _rho_estimate(Ps, qs, As, x, y, z, rho)
 
     return QPSolution(
         x=sp.d * x, y=y * sp.e / sp.c, z=z / sp.e,
@@ -405,6 +394,186 @@ def newton_schulz_inverse(m_mat: jnp.ndarray, seed: jnp.ndarray,
         return 2.0 * x - jnp.matmul(x, mx, precision=_HIGH)
 
     return jax.lax.fori_loop(0, iters, body, x)
+
+
+def _rho_estimate(Ps, qs, As, x, y, z, rho):
+    """OSQP's compute_rho_estimate on scaled iterates (no 5x threshold)."""
+    ax = jnp.matmul(As, x, precision=_HIGH)
+    px = jnp.matmul(Ps, x, precision=_HIGH)
+    aty = jnp.matmul(As.T, y, precision=_HIGH)
+    div_tol = 1e-12
+    rp_rel = jnp.max(jnp.abs(ax - z)) / jnp.maximum(jnp.maximum(
+        jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(z))), div_tol)
+    rd_rel = jnp.max(jnp.abs(px + qs + aty)) / jnp.maximum(
+        jnp.maximum(jnp.maximum(jnp.max(jnp.abs(px)),
+                                jnp.max(jnp.abs(aty))),
+                    jnp.max(jnp.abs(qs))), div_tol)
+    return jnp.clip(rho * jnp.sqrt(rp_rel / jnp.maximum(rd_rel, div_tol)),
+                    RHO_MIN, RHO_MAX)
+
+
+@partial(jax.jit, static_argnames=("iters", "settings", "block",
+                                   "interpret"))
+def admm_solve_fixed_batched(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
+                             l: jnp.ndarray, u: jnp.ndarray, iters: int,
+                             settings: QPSettings,
+                             x0: jnp.ndarray, y0: jnp.ndarray,
+                             rho0: jnp.ndarray, scaling: Scaling,
+                             kkt_inv: jnp.ndarray, block: int = 16,
+                             interpret: bool = False) -> QPSolution:
+    """Batched fixed-iteration solve via the fused-ADMM Pallas kernel.
+
+    All operands carry a leading batch axis B; ``kkt_inv`` is the inverse
+    of :func:`scaled_kkt_matrix` per scenario (same settings/rho0/scaling).
+    Numerically the same iteration as ``vmap(admm_solve_fixed)`` — only
+    the execution schedule differs: the whole ADMM loop runs inside one
+    Pallas kernel, scenario-blocks resident in VMEM (see
+    ops/pallas_kernels.fused_admm), instead of iteration-major XLA batched
+    matvecs that re-read the KKT inverse from HBM every iteration.
+    """
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import fused_admm
+
+    s = settings
+    sp = jax.vmap(apply_scaling, in_axes=(0, 0, 0, 0, 0, 0))(
+        P, q, A, l, u, scaling)
+    xs = x0 / sp.d
+    ys = sp.c[:, None] * y0 / sp.e
+    zs = jnp.clip(jnp.einsum("bmn,bn->bm", sp.A, xs, precision=_HIGH),
+                  sp.l, sp.u)
+    rho_vec = jax.vmap(_rho_vec, in_axes=(0, 0, 0, None))(
+        sp.l, sp.u, rho0, s.rho_eq_scale)
+
+    x, y, z = fused_admm(kkt_inv, sp.A, sp.q, sp.l, sp.u, rho_vec,
+                         xs, ys, zs, iters=iters, sigma=s.sigma,
+                         alpha=s.alpha, block=block, interpret=interpret)
+
+    def finish(sp_i, P_i, q_i, A_i, x_i, y_i, z_i, rho_i):
+        xu = sp_i.d * x_i
+        yu = y_i * sp_i.e / sp_i.c
+        zu = z_i / sp_i.e
+        ax = jnp.matmul(A_i, xu, precision=_HIGH)
+        px = jnp.matmul(P_i, xu, precision=_HIGH)
+        aty = jnp.matmul(A_i.T, yu, precision=_HIGH)
+        rp = jnp.max(jnp.abs(ax - zu))
+        rd = jnp.max(jnp.abs(px + q_i + aty))
+        eps_prim = s.eps_abs + s.eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(ax)), jnp.max(jnp.abs(zu)))
+        eps_dual = s.eps_abs + s.eps_rel * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(px)), jnp.max(jnp.abs(aty))),
+            jnp.max(jnp.abs(q_i)))
+        rho_est = _rho_estimate(sp_i.P, sp_i.q, sp_i.A, x_i, y_i, z_i,
+                                rho_i)
+        return QPSolution(
+            x=xu, y=yu, z=zu, iters=jnp.int32(iters), prim_res=rp,
+            dual_res=rd, converged=(rp <= eps_prim) & (rd <= eps_dual),
+            rho=rho_est)
+
+    return jax.vmap(finish)(sp, P, q, A, x, y, z, rho0)
+
+
+@partial(jax.jit, static_argnames=("iters", "settings", "block",
+                                   "interpret"))
+def admm_solve_fixed_batched_shared(
+        P: jnp.ndarray, q: jnp.ndarray, a0: jnp.ndarray, a1: jnp.ndarray,
+        mu: jnp.ndarray, l: jnp.ndarray, u: jnp.ndarray, iters: int,
+        settings: QPSettings, x0: jnp.ndarray, y0: jnp.ndarray,
+        rho0: jnp.ndarray, scaling: Scaling, kkt_inv: jnp.ndarray,
+        block: int = 32, interpret: bool = False) -> QPSolution:
+    """Batched fixed-iteration solve for constraint matrices of the
+    shared-basis form A_s = A0 + mu_s * A1 (A0/A1 constant across the
+    batch — the friction-cone structure of both the MPC and the stand QP,
+    srb.friction_constraint_basis). The per-scenario (m, n) matrix is
+    never materialized; every A-product rides the MXU as a
+    scenario-rows x shared-matrix matmul (ops/pallas_kernels.
+    fused_admm_shared). Same iterates as ``vmap(admm_solve_fixed)`` up to
+    f32 accumulation order."""
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        fused_admm_shared,
+    )
+
+    s = settings
+    d, e, c = scaling.d, scaling.e, scaling.c
+    Ps = (c[:, None, None] * P) * (d[:, :, None] * d[:, None, :])
+    qs = c[:, None] * d * q
+    ls = e * l
+    us = e * u
+
+    def amul(x):       # (B,n) -> (B,m): (A0 + mu A1) x, shared GEMMs
+        return (jnp.einsum("bn,mn->bm", x, a0, precision=_HIGH)
+                + mu[:, None] * jnp.einsum("bn,mn->bm", x, a1,
+                                           precision=_HIGH))
+
+    def atmul(w):      # (B,m) -> (B,n): (A0 + mu A1)' w
+        return (jnp.einsum("bm,mn->bn", w, a0, precision=_HIGH)
+                + jnp.einsum("bm,mn->bn", mu[:, None] * w, a1,
+                             precision=_HIGH))
+
+    xs = x0 / d
+    ys = c[:, None] * y0 / e
+    zs = jnp.clip(e * amul(x0), ls, us)   # d * xs == x0
+    rho_vec = jax.vmap(_rho_vec, in_axes=(0, 0, 0, None))(
+        ls, us, rho0, s.rho_eq_scale)
+
+    x, y, z = fused_admm_shared(a0, a1, kkt_inv, mu, d, e, qs, ls, us,
+                                rho_vec, xs, ys, zs, iters=iters,
+                                sigma=s.sigma, alpha=s.alpha, block=block,
+                                interpret=interpret)
+
+    # unscale + residuals + rho estimate (shared-GEMM A products)
+    xu = d * x
+    yu = y * e / c[:, None]
+    zu = z / e
+    ax = amul(xu)
+    px = jnp.einsum("bij,bj->bi", P, xu, precision=_HIGH)
+    aty = atmul(yu)
+    inf_b = lambda v: jnp.max(jnp.abs(v), axis=1)
+    rp = inf_b(ax - zu)
+    rd = inf_b(px + q + aty)
+    eps_prim = s.eps_abs + s.eps_rel * jnp.maximum(inf_b(ax), inf_b(zu))
+    eps_dual = s.eps_abs + s.eps_rel * jnp.maximum(
+        jnp.maximum(inf_b(px), inf_b(aty)), inf_b(q))
+
+    # scaled-space products for the rho estimate
+    ax_s = e * amul(d * x)
+    px_s = jnp.einsum("bij,bj->bi", Ps, x, precision=_HIGH)
+    aty_s = d * atmul(e * y)
+    div_tol = 1e-12
+    rp_rel = inf_b(ax_s - z) / jnp.maximum(
+        jnp.maximum(inf_b(ax_s), inf_b(z)), div_tol)
+    rd_rel = inf_b(px_s + qs + aty_s) / jnp.maximum(jnp.maximum(
+        jnp.maximum(inf_b(px_s), inf_b(aty_s)), inf_b(qs)), div_tol)
+    rho_est = jnp.clip(
+        rho0 * jnp.sqrt(rp_rel / jnp.maximum(rd_rel, div_tol)),
+        RHO_MIN, RHO_MAX)
+
+    return QPSolution(
+        x=xu, y=yu, z=zu,
+        iters=jnp.full((P.shape[0],), iters, jnp.int32),
+        prim_res=rp, dual_res=rd,
+        converged=(rp <= eps_prim) & (rd <= eps_dual), rho=rho_est)
+
+
+def scaled_kkt_matrix_shared(P: jnp.ndarray, a0: jnp.ndarray,
+                             a1: jnp.ndarray, mu: jnp.ndarray,
+                             l: jnp.ndarray, u: jnp.ndarray,
+                             settings: QPSettings, rho0: jnp.ndarray,
+                             scaling: Scaling) -> jnp.ndarray:
+    """Batched scaled KKT matrix for shared-basis constraints, built as
+    ONE batched GEMM: K = Ps + sigma I + G' diag(rho e^2) G with
+    G = (A0 + mu A1) diag(d). Matches vmap(scaled_kkt_matrix) without
+    materializing per-scenario A."""
+    d, e, c = scaling.d, scaling.e, scaling.c
+    n = P.shape[-1]
+    Ps = (c[:, None, None] * P) * (d[:, :, None] * d[:, None, :])
+    ls = e * l
+    us = e * u
+    rho_vec = jax.vmap(_rho_vec, in_axes=(0, 0, 0, None))(
+        ls, us, rho0, settings.rho_eq_scale)
+    g = (a0[None] + mu[:, None, None] * a1[None]) * d[:, None, :]
+    w = rho_vec * e * e
+    gw = g * w[:, :, None]
+    return (Ps + settings.sigma * jnp.eye(n, dtype=P.dtype)[None]
+            + jnp.einsum("bmi,bmj->bij", g, gw, precision=_HIGH))
 
 
 @partial(jax.jit, static_argnames=("iters", "settings"))

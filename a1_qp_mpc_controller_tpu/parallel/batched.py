@@ -27,31 +27,63 @@ from a1_qp_mpc_controller_tpu.types import JoyCmd
 def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
                          joy: JoyCmd, dt: jnp.ndarray, *,
                          kkt_block: int = 8, use_pallas: bool = False,
+                         admm_backend: str = "xla",
+                         admm_block: int = 16,
                          interpret: bool = False):
-    """One batched MPC control tick with the KKT factorization hoisted out
-    of vmap.
+    """One batched MPC control tick with the KKT factorization (and
+    optionally the whole ADMM loop) hoisted out of vmap.
 
     Numerically equivalent to ``vmap(control_tick)`` (same scaled KKT
-    matrix, same ADMM iterations) — only the inverse's computation route
-    differs. Requires cfg.mpc_solver_mode == 'fixed'.
+    matrix, same ADMM iterations) — only the execution schedule differs.
+    Requires cfg.mpc_solver_mode == 'fixed'.
 
-    ``use_pallas`` selects the custom Gauss-Jordan kernel; measurement on
-    v5e showed XLA's batched LU inverse (the default) is faster, so the
-    kernel is an option/benchmark, not the default path.
+    ``use_pallas`` selects the custom Gauss-Jordan KKT-inverse kernel;
+    measurement on v5e showed XLA's batched LU inverse (the default) is
+    faster, so the kernel is an option/benchmark, not the default path.
+    ``admm_backend='pallas'`` runs the ADMM iterations in the fused
+    scenario-resident Pallas kernel (ops/pallas_kernels.fused_admm)
+    with ``admm_block`` scenarios per grid step.
     """
     from a1_qp_mpc_controller_tpu.control import grf
     from a1_qp_mpc_controller_tpu.control.controller import (
         control_tick_build, control_tick_finish,
     )
+    from a1_qp_mpc_controller_tpu.models import srb
     from a1_qp_mpc_controller_tpu.ops import qp as qpx
-    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import batched_inverse
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse, batched_inverse_spd,
+    )
 
     assert cfg.mpc_solver_mode == "fixed"
     settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
 
+    with_a = admm_backend != "pallas_shared"
     cs, mem, prob = jax.vmap(
-        lambda p, c, m, s: control_tick_build(cfg, p, c, m, s, joy, dt)
+        lambda p, c, m, s: control_tick_build(cfg, p, c, m, s, joy, dt,
+                                              with_a_mat=with_a)
     )(params_b, cs_b, mem_b, sensors_b)
+
+    if admm_backend == "pallas_shared":
+        # fully shared-structure route: per-scenario constraint matrices
+        # are never materialized; KKT assembly is one batched GEMM, the
+        # inverse is the sweep-operator kernel, the ADMM loop is the
+        # MXU-shaped fused kernel.
+        a0, a1 = srb.friction_constraint_basis(cfg.horizon,
+                                               prob.p_mat.dtype)
+        mu = params_b.mu_mpc
+        m_b = qpx.scaled_kkt_matrix_shared(
+            prob.p_mat, a0, a1, mu, prob.lb, prob.ub, settings,
+            prob.rho0, mem.mpc_scaling)
+        minv = batched_inverse_spd(m_b, block=kkt_block,
+                                   interpret=interpret)
+        sol = qpx.admm_solve_fixed_batched_shared(
+            prob.p_mat, prob.q_vec, a0, a1, mu, prob.lb, prob.ub,
+            cfg.mpc_qp_iters, settings, prob.warm_x, prob.warm_y,
+            prob.rho0, mem.mpc_scaling, minv, block=admm_block,
+            interpret=interpret)
+        return jax.vmap(
+            lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)
+        )(params_b, cs, mem, sol)
 
     m_b = jax.vmap(lambda pr, sc: qpx.scaled_kkt_matrix(
         pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, settings, pr.rho0, sc)
@@ -62,10 +94,17 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         minv = jax.vmap(
             lambda m: jnp.linalg.inv(m))(m_b)
 
-    sol = jax.vmap(lambda pr, sc, mi: qpx.admm_solve_fixed(
-        pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, cfg.mpc_qp_iters,
-        settings, x0=pr.warm_x, y0=pr.warm_y, rho0=pr.rho0, scaling=sc,
-        kkt_inv=mi))(prob, mem.mpc_scaling, minv)
+    if admm_backend == "pallas":
+        sol = qpx.admm_solve_fixed_batched(
+            prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
+            cfg.mpc_qp_iters, settings, prob.warm_x, prob.warm_y,
+            prob.rho0, mem.mpc_scaling, minv, block=admm_block,
+            interpret=interpret)
+    else:
+        sol = jax.vmap(lambda pr, sc, mi: qpx.admm_solve_fixed(
+            pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, cfg.mpc_qp_iters,
+            settings, x0=pr.warm_x, y0=pr.warm_y, rho0=pr.rho0, scaling=sc,
+            kkt_inv=mi))(prob, mem.mpc_scaling, minv)
 
     return jax.vmap(
         lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)

@@ -136,6 +136,153 @@ def test_split_batched_tick_matches_vmapped():
     del jtu
 
 
+def test_fused_admm_matches_vmapped_solver():
+    """admm_solve_fixed_batched (the fused-ADMM Pallas kernel, interpret
+    mode) must reproduce vmap(admm_solve_fixed) on randomized MPC QPs."""
+    from a1_qp_mpc_controller_tpu.control import grf
+    from a1_qp_mpc_controller_tpu.models import srb
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    cfg, params = bench_cfg()
+    B = 3
+    pb = batched.randomize_params(jax.random.PRNGKey(3), B, params)
+    settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
+
+    p_mat, q_vec, a_mat, lb, ub = jax.vmap(
+        lambda p: srb.reference_mpc_problem(p))(pb)
+    # perturb gradients so the three problems differ beyond params
+    q_vec = q_vec * jnp.linspace(0.8, 1.2, B)[:, None]
+    scaling = jax.vmap(lambda p: srb.reference_mpc_scaling(p))(pb)
+    rho0 = jnp.full((B,), grf._MPC_RHO0, jnp.float32)
+    x0 = jnp.zeros((B, 120), jnp.float32)
+    y0 = jnp.zeros((B, 200), jnp.float32)
+    minv = jax.vmap(lambda P, q, A, l, u, sc, r: jnp.linalg.inv(
+        qpx.scaled_kkt_matrix(P, q, A, l, u, settings, r, sc)))(
+        p_mat, q_vec, a_mat, lb, ub, scaling, rho0)
+
+    ref = jax.vmap(lambda P, q, A, l, u, sc, mi, r: qpx.admm_solve_fixed(
+        P, q, A, l, u, 25, settings, x0=None, y0=None, rho0=r,
+        scaling=sc, kkt_inv=mi))(p_mat, q_vec, a_mat, lb, ub, scaling,
+                                 minv, rho0)
+    out = qpx.admm_solve_fixed_batched(
+        p_mat, q_vec, a_mat, lb, ub, 25, settings, x0, y0, rho0,
+        scaling, minv, block=2, interpret=True)
+
+    # same iteration, different f32 accumulation order (VPU axis
+    # reductions vs XLA matmul): tolerances are loose-ish in absolute
+    # terms but tight relative to the ~130 N force scale.
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.y), np.asarray(ref.y),
+                               atol=2e-3)
+    # at convergence the rho estimate is a ratio of noise-level residuals
+    # — only its order of magnitude is meaningful (it seeds the next
+    # tick's rho_vec, which is clipped anyway)
+    ratio = np.asarray(out.rho) / np.asarray(ref.rho)
+    assert (ratio > 0.2).all() and (ratio < 5.0).all()
+    assert bool(out.converged.all()) == bool(ref.converged.all())
+
+
+def test_fused_admm_batched_tick_matches_vmapped():
+    """The full batched tick with admm_backend='pallas' (interpret) must
+    match vmap(control_tick) to float tolerance."""
+    from a1_qp_mpc_controller_tpu.control.controller import control_tick
+    from a1_qp_mpc_controller_tpu.types import (
+        CtrlMem, CtrlState, JoyCmd, SensorData,
+    )
+    cfg, params = bench_cfg()
+    B = 3
+    pb = batched.randomize_params(jax.random.PRNGKey(0), B, params)
+    cs = jax.vmap(lambda _: CtrlState.init(cfg, params))(jnp.arange(B))
+    cs = cs.replace(
+        root_pos=jnp.tile(jnp.array([0.0, 0, 0.3]), (B, 1)),
+        foot_pos_abs=jnp.broadcast_to(params.default_foot_pos, (B, 4, 3)),
+        contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
+                                  (B, 4)))
+    mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(B))
+    sens = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(B))
+    sens = sens.replace(
+        root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (B, 4)),
+        foot_force=jnp.full((B, 4), 60.0))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+    _, _, ref_tq = jax.vmap(
+        lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt))(
+        pb, cs, mem, sens)
+    _, _, fa_tq = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt, admm_backend="pallas",
+        admm_block=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(fa_tq), np.asarray(ref_tq),
+                               atol=1e-4)
+
+
+def test_friction_constraint_basis_matches_matrix():
+    from a1_qp_mpc_controller_tpu.models import srb
+    a0, a1 = srb.friction_constraint_basis(10)
+    for mu in (0.2, 0.45, 0.7):
+        full = srb.friction_constraint_matrix(jnp.float32(mu), 10)
+        np.testing.assert_allclose(np.asarray(a0 + mu * a1),
+                                   np.asarray(full), atol=1e-6)
+
+
+def test_scaled_kkt_matrix_shared_matches_vmapped():
+    from a1_qp_mpc_controller_tpu.control import grf
+    from a1_qp_mpc_controller_tpu.models import srb
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    cfg, params = bench_cfg()
+    B = 3
+    pb = batched.randomize_params(jax.random.PRNGKey(4), B, params)
+    settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
+    p_mat, q_vec, a_mat, lb, ub = jax.vmap(
+        lambda p: srb.reference_mpc_problem(p))(pb)
+    scaling = jax.vmap(lambda p: srb.reference_mpc_scaling(p))(pb)
+    rho0 = jnp.full((B,), grf._MPC_RHO0, jnp.float32)
+    ref = jax.vmap(lambda P, q, A, l, u, sc, r: qpx.scaled_kkt_matrix(
+        P, q, A, l, u, settings, r, sc))(p_mat, q_vec, a_mat, lb, ub,
+                                         scaling, rho0)
+    a0, a1 = srb.friction_constraint_basis(10)
+    out = qpx.scaled_kkt_matrix_shared(p_mat, a0, a1, pb.mu_mpc, lb, ub,
+                                       settings, rho0, scaling)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_fused_admm_shared_tick_matches_vmapped():
+    """batched_control_tick with admm_backend='pallas_shared' (interpret)
+    must match vmap(control_tick) to float tolerance."""
+    from a1_qp_mpc_controller_tpu.control.controller import control_tick
+    from a1_qp_mpc_controller_tpu.types import (
+        CtrlMem, CtrlState, JoyCmd, SensorData,
+    )
+    cfg, params = bench_cfg()
+    B = 3
+    pb = batched.randomize_params(jax.random.PRNGKey(0), B, params)
+    cs = jax.vmap(lambda _: CtrlState.init(cfg, params))(jnp.arange(B))
+    cs = cs.replace(
+        root_pos=jnp.tile(jnp.array([0.0, 0, 0.3]), (B, 1)),
+        foot_pos_abs=jnp.broadcast_to(params.default_foot_pos, (B, 4, 3)),
+        contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
+                                  (B, 4)))
+    mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(B))
+    sens = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(B))
+    sens = sens.replace(
+        root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (B, 4)),
+        foot_force=jnp.full((B, 4), 60.0))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+    _, _, ref_tq = jax.vmap(
+        lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt))(
+        pb, cs, mem, sens)
+    _, _, sh_tq = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt, admm_backend="pallas_shared",
+        admm_block=2, kkt_block=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(sh_tq), np.asarray(ref_tq),
+                               atol=2e-3)
+
+
 def test_pallas_gj_inverse_interpret(rng):
     from a1_qp_mpc_controller_tpu.ops.pallas_kernels import batched_inverse
     B, n = 5, 120
@@ -143,6 +290,21 @@ def test_pallas_gj_inverse_interpret(rng):
     m = np.einsum("bij,bkj->bik", a, a) / n + 0.1 * np.eye(n)[None]
     out = np.asarray(batched_inverse(jnp.asarray(m), block=2,
                                      interpret=True))
+    resid = np.abs(np.einsum("bij,bjk->bik", out, m)
+                   - np.eye(n)[None]).max()
+    assert resid < 1e-4
+
+
+def test_pallas_sweep_inverse_interpret(rng):
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse_spd,
+    )
+    B, n = 5, 120
+    a = rng.standard_normal((B, n, n)).astype(np.float32)
+    m = np.einsum("bij,bkj->bik", a, a) / n + 0.1 * np.eye(n)[None]
+    m = 0.5 * (m + m.transpose(0, 2, 1))
+    out = np.asarray(batched_inverse_spd(jnp.asarray(m), block=2,
+                                         interpret=True))
     resid = np.abs(np.einsum("bij,bjk->bik", out, m)
                    - np.eye(n)[None]).max()
     assert resid < 1e-4
