@@ -50,9 +50,7 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     )
     from a1_qp_mpc_controller_tpu.models import srb
     from a1_qp_mpc_controller_tpu.ops import qp as qpx
-    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
-        batched_inverse, batched_inverse_spd,
-    )
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import batched_inverse
 
     assert cfg.mpc_solver_mode == "fixed"
     settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
@@ -66,16 +64,16 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     if admm_backend == "pallas_shared":
         # fully shared-structure route: per-scenario constraint matrices
         # are never materialized; KKT assembly is one batched GEMM, the
-        # inverse is the sweep-operator kernel, the ADMM loop is the
-        # MXU-shaped fused kernel.
+        # inverse is the Gauss-Jordan kernel (measured faster than both
+        # batched LU (5x) and the sweep kernel (2x) on v5e), the ADMM
+        # loop is the MXU-shaped fused kernel.
         a0, a1 = srb.friction_constraint_basis(cfg.horizon,
                                                prob.p_mat.dtype)
         mu = params_b.mu_mpc
         m_b = qpx.scaled_kkt_matrix_shared(
             prob.p_mat, a0, a1, mu, prob.lb, prob.ub, settings,
             prob.rho0, mem.mpc_scaling)
-        minv = batched_inverse_spd(m_b, block=kkt_block,
-                                   interpret=interpret)
+        minv = batched_inverse(m_b, block=kkt_block, interpret=interpret)
         sol = qpx.admm_solve_fixed_batched_shared(
             prob.p_mat, prob.q_vec, a0, a1, mu, prob.lb, prob.ub,
             cfg.mpc_qp_iters, settings, prob.warm_x, prob.warm_y,
