@@ -24,7 +24,7 @@ from a1_qp_mpc_controller_tpu.types import CtrlMem, CtrlState, JoyCmd
 class LoopCarry(struct.PyTreeNode):
     cs: CtrlState
     mem: CtrlMem
-    ps: plant_mod.PlantState
+    ps: plant_mod.PlantState          # or joint_plant.JointPlantState
     prev_root_lin_vel: jnp.ndarray
 
 
@@ -43,8 +43,11 @@ class Trace(struct.PyTreeNode):
 
 def make_standing_start(cfg: A1Config, params: RobotParams,
                         terrain: terrain_mod.Terrain,
-                        height: float = 0.3) -> LoopCarry:
-    ps = plant_mod.init_standing(params, terrain, height)
+                        height: float = 0.3,
+                        plant=plant_mod) -> LoopCarry:
+    """``plant`` selects the physics backend: ``sim.plant`` (SRB +
+    massless legs, default) or ``sim.joint_plant`` (18-DoF articulated)."""
+    ps = plant.init_standing(params, terrain, height)
     cs = CtrlState.init(cfg, params)
     # seed the controller's root state with the true pose so the first ticks
     # (before the EKF converges) are sane
@@ -55,23 +58,24 @@ def make_standing_start(cfg: A1Config, params: RobotParams,
                      prev_root_lin_vel=ps.root_lin_vel)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "substeps"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "substeps", "plant"))
 def rollout(cfg: A1Config, params: RobotParams,
             terrain: terrain_mod.Terrain, carry: LoopCarry,
             joy_seq: JoyCmd, n_steps: int,
-            substeps: int = 5) -> Tuple[LoopCarry, Trace]:
+            substeps: int = 5, plant=plant_mod) -> Tuple[LoopCarry, Trace]:
     """Run ``n_steps`` control periods. ``joy_seq`` fields have leading (T,)
-    axis (scanned) — build with :func:`joy_schedule`."""
+    axis (scanned) — build with :func:`joy_schedule`. ``plant`` selects the
+    physics backend module (must match the carry's plant state)."""
     dt = jnp.asarray(cfg.control_dt, jnp.float32)
 
     def body(c: LoopCarry, joy: JoyCmd):
-        sensors = plant_mod.read_sensors(params, c.ps,
-                                         c.prev_root_lin_vel, dt)
+        sensors = plant.read_sensors(params, c.ps,
+                                     c.prev_root_lin_vel, dt)
         cs, mem, torques = control_tick(cfg, params, c.cs, c.mem, sensors,
                                         joy, dt)
         prev_vel = c.ps.root_lin_vel
-        ps = plant_mod.plant_step(params, terrain, c.ps, torques, dt,
-                                  substeps)
+        ps = plant.plant_step(params, terrain, c.ps, torques, dt,
+                              substeps)
         trace = Trace(
             root_pos=ps.root_pos,
             root_euler_est=cs.root_euler,
