@@ -70,6 +70,10 @@ THIGH_COM = jnp.array([0.0, 0.0223, -0.03])   # y mirrored per side
 CALF_COM = jnp.array([0.0, 0.0, -0.146])
 
 JOINT_DAMPING = 0.01     # N m s / rad, URDF-style viscous joint damping
+TORQUE_LIMIT = 33.5      # N m, A1 URDF actuator effort limit — Gazebo and
+                         # Isaac clamp commanded efforts at the joint, so
+                         # the plant must too (stiff swing-PD profiles rely
+                         # on this saturation)
 NU = 6 + 3 * NUM_LEG     # 18 generalized velocities
 NC = 3 * NUM_LEG         # 12 contact constraint rows
 
@@ -306,8 +310,9 @@ def _substep(params: RobotParams, terrain: terrain_mod.Terrain,
     kkt = kkt.at[NU:, :NU].set(jc_flat)
     kkt = kkt.at[NU:, NU:].set(-jnp.diag(dual_d))
 
+    tau_act = jnp.clip(tau, -TORQUE_LIMIT, TORQUE_LIMIT)
     tau_gen = jnp.concatenate([
-        jnp.zeros(6, u.dtype), tau - JOINT_DAMPING * ps.joint_vel])
+        jnp.zeros(6, u.dtype), tau_act - JOINT_DAMPING * ps.joint_vel])
     # Baumgarte position stabilization on the pin anchors (critically
     # damped, omega ~ 0.1/dt — gentle next to the per-substep velocity
     # projection below, which keeps Jc u ~ 0 anyway)
