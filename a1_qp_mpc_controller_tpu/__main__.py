@@ -38,10 +38,17 @@ def cmd_sim(args) -> None:
     terrain = _parse_terrain(args.terrain)
     n_steps = int(args.seconds / cfg.control_dt)
     walk_after = int(args.walk_after / cfg.control_dt)
-    carry = cl.make_standing_start(cfg, params, terrain)
+    if args.plant == "joint":
+        from a1_qp_mpc_controller_tpu.sim import joint_plant as plant
+    else:
+        from a1_qp_mpc_controller_tpu.sim import plant
+    height = 0.35 if args.profile.startswith("isaac") else 0.3
+    carry = cl.make_standing_start(cfg, params, terrain, height=height,
+                                   plant=plant)
     joy = cl.joy_schedule(n_steps, walk_after=walk_after, velx=args.velx,
                           vely=args.vely, yaw_rate=args.yaw_rate)
-    carry, trace = cl.rollout(cfg, params, terrain, carry, joy, n_steps)
+    carry, trace = cl.rollout(cfg, params, terrain, carry, joy, n_steps,
+                              plant=plant)
     summary = telemetry.summarize_trace(trace)
     if args.trace_out:
         telemetry.save_npz(trace, args.trace_out)
@@ -111,6 +118,9 @@ def main() -> None:
 
     ps = sub.add_parser("sim", help="closed-loop rollout")
     common(ps)
+    ps.add_argument("--plant", default="srb", choices=("srb", "joint"),
+                    help="physics backend: SRB + massless legs (default) "
+                         "or 18-DoF articulated dynamics")
     ps.add_argument("--vely", type=float, default=0.0)
     ps.add_argument("--yaw-rate", type=float, default=0.0)
     ps.add_argument("--walk-after", type=float, default=1.0)

@@ -29,6 +29,7 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
                          kkt_block: int = 8, use_pallas: bool = False,
                          admm_backend: str = "xla",
                          admm_block: int = 16,
+                         kkt_backend: str = "gj",
                          interpret: bool = False):
     """One batched MPC control tick with the KKT factorization (and
     optionally the whole ADMM loop) hoisted out of vmap.
@@ -43,6 +44,9 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     ``admm_backend='pallas'`` runs the ADMM iterations in the fused
     scenario-resident Pallas kernel (ops/pallas_kernels.fused_admm)
     with ``admm_block`` scenarios per grid step.
+    ``kkt_backend`` picks the inverse kernel on the 'pallas_shared'
+    route: 'gj' (flat Gauss-Jordan) or 'schur' (recursive
+    Schur-complement block inversion — MXU GEMMs + 32-pivot GJ bases).
     """
     from a1_qp_mpc_controller_tpu.control import grf
     from a1_qp_mpc_controller_tpu.control.controller import (
@@ -50,7 +54,9 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     )
     from a1_qp_mpc_controller_tpu.models import srb
     from a1_qp_mpc_controller_tpu.ops import qp as qpx
-    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import batched_inverse
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse, spd_block_inverse,
+    )
 
     assert cfg.mpc_solver_mode == "fixed"
     settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
@@ -73,7 +79,12 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         m_b = qpx.scaled_kkt_matrix_shared(
             prob.p_mat, a0, a1, mu, prob.lb, prob.ub, settings,
             prob.rho0, mem.mpc_scaling)
-        minv = batched_inverse(m_b, block=kkt_block, interpret=interpret)
+        if kkt_backend == "schur":
+            minv = spd_block_inverse(m_b, base=32, block=max(kkt_block, 64),
+                                     interpret=interpret)
+        else:
+            minv = batched_inverse(m_b, block=kkt_block,
+                                   interpret=interpret)
         sol = qpx.admm_solve_fixed_batched_shared(
             prob.p_mat, prob.q_vec, a0, a1, mu, prob.lb, prob.ub,
             cfg.mpc_qp_iters, settings, prob.warm_x, prob.warm_y,

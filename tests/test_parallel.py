@@ -281,6 +281,12 @@ def test_fused_admm_shared_tick_matches_vmapped():
         admm_block=2, kkt_block=2, interpret=True)
     np.testing.assert_allclose(np.asarray(sh_tq), np.asarray(ref_tq),
                                atol=2e-3)
+    # and with the Schur-complement KKT-inverse backend
+    _, _, sc_tq = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt, admm_backend="pallas_shared",
+        kkt_backend="schur", admm_block=2, kkt_block=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(sc_tq), np.asarray(ref_tq),
+                               atol=2e-3)
 
 
 def test_pallas_gj_inverse_interpret(rng):
@@ -308,6 +314,40 @@ def test_pallas_sweep_inverse_interpret(rng):
     resid = np.abs(np.einsum("bij,bjk->bik", out, m)
                    - np.eye(n)[None]).max()
     assert resid < 1e-4
+
+
+def test_pallas_small_inverse_interpret(rng):
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse_small,
+    )
+    for n in (12, 32, 57):
+        a = rng.standard_normal((5, n, n)).astype(np.float32)
+        m = np.einsum("bij,bkj->bik", a, a) / n + 0.1 * np.eye(n)[None]
+        out = np.asarray(batched_inverse_small(jnp.asarray(m), block=4,
+                                               interpret=True))
+        resid = np.abs(np.einsum("bij,bjk->bik", out, m)
+                       - np.eye(n)[None]).max()
+        assert resid < 1e-4, n
+
+
+def test_spd_block_inverse_interpret(rng):
+    """Schur-complement recursive inverse == dense inverse, incl. a size
+    that needs identity padding (120 -> 128) and one needing two pad
+    levels (200 -> 256); output must be symmetric (the fused-ADMM kernel
+    relies on it)."""
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        spd_block_inverse,
+    )
+    for n in (64, 120, 200):
+        a = rng.standard_normal((5, n, n)).astype(np.float32)
+        m = np.einsum("bij,bkj->bik", a, a) / n + 0.1 * np.eye(n)[None]
+        m = 0.5 * (m + m.transpose(0, 2, 1))
+        out = np.asarray(spd_block_inverse(jnp.asarray(m), base=32,
+                                           block=4, interpret=True))
+        ref = np.linalg.inv(m.astype(np.float64))
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < 1e-4, (n, rel)
+        assert np.abs(out - out.transpose(0, 2, 1)).max() == 0.0
 
 
 def test_dryrun_multichip_entrypoint():
