@@ -127,7 +127,9 @@ def kkt_residuals(P, q, A, l, u, x, y):
     prim = prim.max(initial=0.0)
     # complementarity: y+ * (u - Ax) = 0, y- * (Ax - l) = 0
     yp, ym = np.maximum(y, 0.0), np.maximum(-y, 0.0)
-    comp_u = np.where(np.isposinf(u), 0.0, yp * np.abs(np.asarray(u) - ax))
-    comp_l = np.where(np.isneginf(l), 0.0, ym * np.abs(ax - np.asarray(l)))
+    u_fin = np.where(np.isposinf(u), ax, np.asarray(u, np.float64))
+    l_fin = np.where(np.isneginf(l), ax, np.asarray(l, np.float64))
+    comp_u = np.where(np.isposinf(u), 0.0, yp * np.abs(u_fin - ax))
+    comp_l = np.where(np.isneginf(l), 0.0, ym * np.abs(ax - l_fin))
     comp = max(comp_u.max(initial=0.0), comp_l.max(initial=0.0))
     return stat, prim, comp
