@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from a1_qp_mpc_controller_tpu.config import A1Config, NUM_LEG, RobotParams
+from a1_qp_mpc_controller_tpu.ops import linalg
 from a1_qp_mpc_controller_tpu.types import CtrlState, EKFState
 from a1_qp_mpc_controller_tpu.utils.mathx import skew
 
@@ -118,11 +119,14 @@ def update(cfg: A1Config, cs: CtrlState, ekf: EKFState, dt: jnp.ndarray
 
     s_mat = c_mat @ pbar @ c_mat.T + jnp.diag(r_diag)
     s_mat = 0.5 * (s_mat + s_mat.T)
-    # one LU solve for both right-hand sides (jnp.linalg.solve lowers far
-    # better on TPU than cholesky + triangular_solve chains)
+    # one SPD solve for both right-hand sides. spd_solve (Jacobi-
+    # equilibrated Schur-recursion inverse, ops/linalg.py) is pure batched
+    # GEMMs — measured ~10x faster than the batched-LU jnp.linalg.solve
+    # lowering on TPU v5e at batch 1024, and the equilibration soaks up
+    # the 1e3 contact-noise inflation that dominates S's conditioning.
     err_y = y - yhat
     rhs = jnp.concatenate([err_y[:, None], c_mat], axis=1)
-    sol = jnp.linalg.solve(s_mat, rhs)
+    sol = linalg.spd_solve(s_mat, rhs)
     serr = sol[:, 0]
     x_new = xbar + pbar @ (c_mat.T @ serr)
 

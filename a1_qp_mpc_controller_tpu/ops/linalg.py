@@ -1,0 +1,109 @@
+"""Small-matrix batched linear algebra shaped for TPU.
+
+XLA's batched ``jnp.linalg.{inv,solve}`` lower to LU with partial pivoting
+— a long chain of tiny sequential kernels that measures ~60 ms for
+1024x(120,120) and ~several ms even for 1024x(28,28) on v5e. For the SPD
+matrices this framework solves against (ADMM KKT, EKF innovation,
+stand-QP KKT), pivoting is unnecessary, and the inverse can be built from
+batched GEMMs via recursive Schur-complement block inversion:
+
+    M = [[A, B], [B', C]],  S = C - B' A^-1 B   (SPD when M is)
+    M^-1 = [[A^-1 + W S^-1 W', -W S^-1], [-S^-1 W', S^-1]],  W = A^-1 B
+
+The recursion bottoms out in an UNROLLED no-pivot Gauss-Jordan sweep
+(``base`` pivots of rank-1 updates — fine for SPD). Everything is plain
+jnp, so it vmaps, jits, differentiates, and runs identically on CPU/TPU —
+this is the vmap-friendly sibling of the Pallas kernels in
+ops/pallas_kernels.py (which need to run outside vmap).
+
+Reference counterpart: Eigen dense solves — ``fullPivHouseholderQr`` in
+the EKF (A1BasicEKF.cpp:134-138) and OSQP's internal QDLDL factorization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _gj_inverse_unrolled(m: jnp.ndarray) -> jnp.ndarray:
+    """Unrolled no-pivot Gauss-Jordan inverse of the last-two-axes matrix
+    (any leading batch dims). For SPD (or diagonally dominant) matrices
+    only. O(n) unrolled rank-1 updates — use small n (<= ~16)."""
+    n = m.shape[-1]
+    inv = jnp.broadcast_to(jnp.eye(n, dtype=m.dtype), m.shape)
+    for k in range(n):
+        pivot = m[..., k:k + 1, k:k + 1]              # (..., 1, 1)
+        inv_d = 1.0 / pivot
+        row_m = m[..., k:k + 1, :] * inv_d            # (..., 1, n)
+        row_i = inv[..., k:k + 1, :] * inv_d
+        col = m[..., :, k:k + 1]                      # (..., n, 1)
+        # elimination factors: pivot column with the pivot row zeroed
+        keep = 1.0 - jax.nn.one_hot(k, n, dtype=m.dtype)[:, None]  # (n,1)
+        factor = col * keep
+        m = m - factor * row_m
+        inv = inv - factor * row_i
+        m = m.at[..., k, :].set(row_m[..., 0, :])
+        inv = inv.at[..., k, :].set(row_i[..., 0, :])
+    return inv
+
+
+@partial(jax.jit, static_argnames=("base", "equilibrate"))
+def spd_inverse(m: jnp.ndarray, base: int = 8,
+                equilibrate: bool = True) -> jnp.ndarray:
+    """Inverse of SPD matrices (..., n, n) via recursive Schur complement.
+
+    All heavy work is batched GEMMs (MXU); only ``base``-sized unrolled
+    Gauss-Jordan sweeps remain. Output is explicitly symmetrized. n need
+    not be a power of two — odd sizes split unevenly.
+
+    Schur-complement recursion amplifies rounding by ~kappa^2*eps in the
+    worst case, so by default the matrix is Jacobi-equilibrated first
+    (S' = D S D, D = diag(S)^-1/2): for matrices whose conditioning comes
+    from heterogeneous scales — the EKF innovation with its 1e3 contact
+    noise inflation, KKT matrices before Ruiz — this removes almost all
+    of the spread at the cost of two broadcasts.
+    """
+    if equilibrate:
+        d = jax.lax.rsqrt(jnp.maximum(
+            jnp.diagonal(m, axis1=-2, axis2=-1), 1e-30))
+        dd = d[..., :, None] * d[..., None, :]  # exactly symmetric
+        out = spd_inverse(m * dd, base=base, equilibrate=False)
+        return out * dd
+    def inv(x):
+        k = x.shape[-1]
+        if k <= base:
+            return _gj_inverse_unrolled(x)
+        h = k // 2
+        a = x[..., :h, :h]
+        b = x[..., :h, h:]
+        c = x[..., h:, h:]
+        ai = inv(a)
+        w = jnp.matmul(ai, b, precision=_HIGH)
+        s = c - jnp.matmul(jnp.swapaxes(b, -1, -2), w, precision=_HIGH)
+        si = inv(s)
+        tr = -jnp.matmul(w, si, precision=_HIGH)
+        tl = ai - jnp.matmul(tr, jnp.swapaxes(w, -1, -2), precision=_HIGH)
+        top = jnp.concatenate([tl, tr], axis=-1)
+        bot = jnp.concatenate([jnp.swapaxes(tr, -1, -2), si], axis=-1)
+        return jnp.concatenate([top, bot], axis=-2)
+
+    out = inv(m)
+    return 0.5 * (out + jnp.swapaxes(out, -1, -2))
+
+
+@partial(jax.jit, static_argnames=("base",))
+def spd_solve(m: jnp.ndarray, rhs: jnp.ndarray, base: int = 8
+              ) -> jnp.ndarray:
+    """Solve M X = RHS for SPD M (..., n, n), RHS (..., n, k) or (..., n).
+    Explicit-inverse-then-GEMM: for the small-n batched regime this is
+    faster on TPU than any triangular-solve chain, and backward-stable
+    enough for f32 KF/ADMM use (SPD, moderately conditioned)."""
+    minv = spd_inverse(m, base=base)
+    if rhs.ndim == m.ndim - 1:
+        return jnp.einsum("...ij,...j->...i", minv, rhs, precision=_HIGH)
+    return jnp.matmul(minv, rhs, precision=_HIGH)

@@ -1,0 +1,97 @@
+"""Scan-timed comparison of batched SPD-inverse kernels on TPU:
+flat Pallas GJ vs sweep vs recursive Schur (base/block sweep) vs XLA LU.
+
+    python scripts/profile_inverse.py --batch 1024
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+R = 10
+
+
+def time_scan(step, init, name, reps=3):
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(lambda c, _: (step(c), None), c, None,
+                            length=R)[0]
+    out = run(init)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(init)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:44s} {best * 1e3 / R:9.3f} ms/iter", flush=True)
+    return best / R
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args()
+
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.control import grf
+    from a1_qp_mpc_controller_tpu.models import srb
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse, spd_block_inverse,
+    )
+
+    b = args.batch
+    cfg, params = load_profile("gazebo_mpc")
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=50, mpc_solver_mode="fixed")
+    settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
+
+    # representative batch of KKT matrices: perturbed nominal instances
+    p0, q0, a0m, lb, ub = srb.reference_mpc_problem(params)
+    scal = srb.reference_mpc_scaling(params)
+    key = jax.random.PRNGKey(0)
+    jitter = 1.0 + 0.05 * jax.random.normal(key, (b, 1, 1))
+    p_b = p0[None] * jitter
+    scal_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (b,) + x.shape), scal)
+    m_b = jax.vmap(lambda p, sc: qpx.scaled_kkt_matrix(
+        p, q0, a0m, lb, ub, settings, jnp.float32(1e-4), sc))(p_b, scal_b)
+    m_b = jax.block_until_ready(jax.jit(lambda x: x)(m_b))
+    print(f"batch={b} n={m_b.shape[1]} device={jax.devices()[0]}",
+          flush=True)
+
+    eps = jnp.float32(1e-30)
+    time_scan(lambda mi: jnp.linalg.inv(m_b + eps * mi), m_b, "XLA LU inv")
+    for blk in (16, 32):
+        time_scan(functools.partial(
+            lambda mi, blk: batched_inverse(m_b + eps * mi, block=blk),
+            blk=blk), m_b, f"flat GJ blk={blk}")
+    for base in (16, 32, 64):
+        for blk in (32, 64, 128):
+            time_scan(functools.partial(
+                lambda mi, base, blk: spd_block_inverse(
+                    m_b + eps * mi, base=base, block=blk),
+                base=base, blk=blk), m_b,
+                f"schur base={base} blk={blk}")
+
+    # accuracy check: residual ||I - X M||_inf
+    x_gj = batched_inverse(m_b, block=16)
+    x_sc = spd_block_inverse(m_b, base=32, block=64)
+    eye = jnp.eye(m_b.shape[1])
+    r_gj = jnp.max(jnp.abs(eye - jnp.einsum("bij,bjk->bik", x_gj, m_b)))
+    r_sc = jnp.max(jnp.abs(eye - jnp.einsum("bij,bjk->bik", x_sc, m_b)))
+    print(f"residual GJ={float(r_gj):.2e}  schur={float(r_sc):.2e}")
+
+
+if __name__ == "__main__":
+    main()

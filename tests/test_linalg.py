@@ -1,0 +1,81 @@
+"""ops/linalg: batched SPD inverse/solve vs numpy ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a1_qp_mpc_controller_tpu.ops import linalg
+
+
+def _spd(rng, b, n, cond=100.0):
+    q, _ = np.linalg.qr(rng.normal(size=(b, n, n)))
+    ev = np.exp(rng.uniform(0, np.log(cond), size=(b, n)))
+    return (q * ev[:, None, :]) @ np.swapaxes(q, 1, 2)
+
+
+@pytest.mark.parametrize("n", [4, 7, 12, 18, 28, 64])
+def test_spd_inverse_matches_numpy(rng, n):
+    m = _spd(rng, 16, n).astype(np.float32)
+    got = np.asarray(linalg.spd_inverse(jnp.asarray(m)))
+    want = np.linalg.inv(m.astype(np.float64))
+    resid = np.max(np.abs(
+        np.eye(n) - got @ m.astype(np.float64)))
+    assert resid < 5e-3, resid
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-4)
+
+
+def test_spd_inverse_symmetric_output(rng):
+    m = _spd(rng, 8, 28).astype(np.float32)
+    got = np.asarray(linalg.spd_inverse(jnp.asarray(m)))
+    np.testing.assert_allclose(got, np.swapaxes(got, 1, 2), atol=0)
+
+
+@pytest.mark.parametrize("rhs_shape", ["matrix", "vector"])
+def test_spd_solve(rng, rhs_shape):
+    n, b = 28, 8
+    m = _spd(rng, b, n).astype(np.float32)
+    if rhs_shape == "matrix":
+        rhs = rng.normal(size=(b, n, 5)).astype(np.float32)
+    else:
+        rhs = rng.normal(size=(b, n)).astype(np.float32)
+    got = np.asarray(linalg.spd_solve(jnp.asarray(m), jnp.asarray(rhs)))
+    rhs64 = rhs.astype(np.float64)
+    if rhs_shape == "vector":
+        want = np.linalg.solve(m.astype(np.float64), rhs64[..., None])[
+            ..., 0]
+    else:
+        want = np.linalg.solve(m.astype(np.float64), rhs64)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-4)
+
+
+def test_spd_inverse_under_vmap_and_jit(rng):
+    m = jnp.asarray(_spd(rng, 4, 18).astype(np.float32))
+    direct = linalg.spd_inverse(m)
+    vmapped = jax.jit(jax.vmap(lambda x: linalg.spd_inverse(x)))(m)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(vmapped),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spd_inverse_unbatched(rng):
+    m = jnp.asarray(_spd(rng, 1, 12)[0].astype(np.float32))
+    got = np.asarray(linalg.spd_inverse(m))
+    want = np.linalg.inv(np.asarray(m, np.float64))
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-4)
+
+
+def test_ekf_innovation_conditioning(rng):
+    """The EKF's S conditioning is dominated by heterogeneous DIAGONAL
+    scales (1e3 contact noise inflation, 1e5 no-flat-ground rows on a
+    1e-3 base) — exactly what Jacobi equilibration removes. Build an
+    EKF-shaped matrix: moderate-kappa core under a wild diagonal."""
+    n, b = 28, 32
+    core = _spd(rng, b, n, cond=300.0)
+    scale = np.exp(rng.uniform(np.log(1e-3), np.log(1e5), size=(b, n)))
+    d = np.sqrt(scale)
+    m = (core * d[:, None, :] * d[:, :, None]).astype(np.float32)
+    got = np.asarray(linalg.spd_inverse(jnp.asarray(m)))
+    # scaled residual: D^-1 (I - X M) D is the equilibrated-space error
+    resid = np.eye(n) - got @ m.astype(np.float64)
+    resid = np.max(np.abs(resid / d[:, None, :] * d[:, :, None]))
+    assert resid < 5e-3, resid
