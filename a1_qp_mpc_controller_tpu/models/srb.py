@@ -225,6 +225,31 @@ def friction_constraint_basis(horizon: int = PLAN_HORIZON,
     return expand(base_block), expand(mu_block)
 
 
+def friction_basis_blocks(dtype=jnp.float32):
+    """The (5,3) per-(step,leg) blocks of the shared constraint basis:
+    A(mu) is BLOCK-DIAGONAL with H*4 copies of ``base + mu * slope`` down
+    the diagonal (5 rows / 3 force components per leg-step). Exposing the
+    blocks lets the batched KKT assembly compute A' diag(w) A as 40 tiny
+    3x3 products instead of a dense (200,120)x(200,120) contraction."""
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    base = jnp.stack([
+        jnp.stack([one, zero, zero]),
+        jnp.stack([one, zero, zero]),
+        jnp.stack([zero, one, zero]),
+        jnp.stack([zero, one, zero]),
+        jnp.stack([zero, zero, one]),
+    ])  # (5,3)
+    slope = jnp.stack([
+        jnp.stack([zero, zero, one]),
+        jnp.stack([zero, zero, -one]),
+        jnp.stack([zero, zero, one]),
+        jnp.stack([zero, zero, -one]),
+        jnp.stack([zero, zero, zero]),
+    ])
+    return base, slope
+
+
 def mpc_bounds(contacts: jnp.ndarray, fz_min: jnp.ndarray,
                fz_max: jnp.ndarray, horizon: int = PLAN_HORIZON,
                dtype=jnp.float32):

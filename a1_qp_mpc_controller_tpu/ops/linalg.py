@@ -65,8 +65,15 @@ def spd_inverse(m: jnp.ndarray, base: int = 8,
     worst case, so by default the matrix is Jacobi-equilibrated first
     (S' = D S D, D = diag(S)^-1/2): for matrices whose conditioning comes
     from heterogeneous scales — the EKF innovation with its 1e3 contact
-    noise inflation, KKT matrices before Ruiz — this removes almost all
-    of the spread at the cost of two broadcasts.
+    noise inflation — this removes almost all of the spread at the cost
+    of two broadcasts.
+
+    WARNING (measured): on matrices whose conditioning is STRUCTURAL
+    (not diagonal-scale) — e.g. the Ruiz-scaled condensed-MPC KKT at
+    kappa ~ 7e4 — the kappa^2 amplification is real: residual ~1e0/NaN
+    in f32 where sequential GJ holds ~1e-3. Keep this for the EKF-class
+    matrices it is tested on; use the sequential-GJ Pallas kernels
+    (ops/pallas_kernels.batched_inverse_inplace) for KKT batches.
     """
     if equilibrate:
         d = jax.lax.rsqrt(jnp.maximum(

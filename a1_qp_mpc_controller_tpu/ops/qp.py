@@ -576,6 +576,42 @@ def scaled_kkt_matrix_shared(P: jnp.ndarray, a0: jnp.ndarray,
             + jnp.einsum("bmi,bmj->bij", g, gw, precision=_HIGH))
 
 
+def scaled_kkt_matrix_blockdiag(P: jnp.ndarray, base_blk: jnp.ndarray,
+                                slope_blk: jnp.ndarray, mu: jnp.ndarray,
+                                l: jnp.ndarray, u: jnp.ndarray,
+                                settings: QPSettings, rho0: jnp.ndarray,
+                                scaling: Scaling) -> jnp.ndarray:
+    """Same result as :func:`scaled_kkt_matrix_shared`, exploiting that
+    the friction-cone constraint matrix is BLOCK-DIAGONAL: per (step,leg)
+    block t, A' diag(w) A contributes one 3x3 block
+    blk(mu)' diag(w_t) blk(mu) on the KKT diagonal (blk = base + mu*slope,
+    srb.friction_basis_blocks). Replaces the dense (B,200,120)x(B,200,120)
+    contraction (~6 GFLOP at B=1024, measured 2.9 ms) with B x 40 tiny
+    3x3 products (~1 MFLOP) + one broadcast placement."""
+    d, e, c = scaling.d, scaling.e, scaling.c
+    b, n = P.shape[0], P.shape[-1]
+    nblk = n // 3
+    dtype = P.dtype
+    Ps = (c[:, None, None] * P) * (d[:, :, None] * d[:, None, :])
+    ls = e * l
+    us = e * u
+    rho_vec = jax.vmap(_rho_vec, in_axes=(0, 0, 0, None))(
+        ls, us, rho0, settings.rho_eq_scale)
+    w = (rho_vec * e * e).reshape(b, nblk, 5)               # (B,T,5)
+    blk = base_blk[None] + mu[:, None, None] * slope_blk[None]  # (B,5,3)
+    wblk = w[:, :, :, None] * blk[:, None, :, :]            # (B,T,5,3)
+    blocks = jnp.einsum("brc,btrq->btcq", blk, wblk,
+                        precision=_HIGH)                    # (B,T,3,3)
+    # scale by d on both sides (G = A diag(d))
+    d3 = d.reshape(b, nblk, 3)
+    blocks = blocks * d3[:, :, :, None] * d3[:, :, None, :]
+    # place on the (B,n,n) diagonal: (B,T,3,T,3) masked broadcast
+    eye_t = jnp.eye(nblk, dtype=dtype)
+    bd = (blocks[:, :, :, None, :]
+          * eye_t[None, :, None, :, None]).reshape(b, n, n)
+    return Ps + settings.sigma * jnp.eye(n, dtype=dtype)[None] + bd
+
+
 @partial(jax.jit, static_argnames=("iters", "settings"))
 def admm_solve_fixed(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
                      l: jnp.ndarray, u: jnp.ndarray, iters: int,

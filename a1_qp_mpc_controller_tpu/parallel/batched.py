@@ -76,9 +76,10 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         a0, a1 = srb.friction_constraint_basis(cfg.horizon,
                                                prob.p_mat.dtype)
         mu = params_b.mu_mpc
-        m_b = qpx.scaled_kkt_matrix_shared(
-            prob.p_mat, a0, a1, mu, prob.lb, prob.ub, settings,
-            prob.rho0, mem.mpc_scaling)
+        base_blk, slope_blk = srb.friction_basis_blocks(prob.p_mat.dtype)
+        m_b = qpx.scaled_kkt_matrix_blockdiag(
+            prob.p_mat, base_blk, slope_blk, mu, prob.lb, prob.ub,
+            settings, prob.rho0, mem.mpc_scaling)
         if kkt_backend == "schur":
             minv = spd_block_inverse(m_b, base=32, block=max(kkt_block, 64),
                                      interpret=interpret)
