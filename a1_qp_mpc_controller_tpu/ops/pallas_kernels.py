@@ -277,6 +277,107 @@ def batched_inverse_inplace(m: jnp.ndarray, block: int = 16,
     return out[:b, :n, :n]
 
 
+def _gj_rank_r_kernel(m_ref, out_ref, *, n_steps: int, rank: int):
+    """Rank-``rank`` aggregated Gauss-Jordan inversion.
+
+    Per outer step, ``rank`` pivot rows are extracted with ONE dynamic
+    roll (pltpu.roll with a traced shift) instead of per-pivot masked
+    reductions, eliminated against each other sequentially on the small
+    (S, rank, L) slab (progressive within-panel factors — numerically
+    validated: resid 7.7e-4 at rank 2 / 3.6e-3 at rank 4 on the MPC KKT
+    family, vs 8e-4 for pure sequential and 3e-1 at rank 8), and applied
+    to both working arrays as one fused multi-rank-1 update — amortizing
+    the row/column-extraction ALU over ``rank`` pivots.
+
+    Requires n_steps % rank == 0; SPD input (no pivoting).
+    """
+    s, n, lanes = m_ref.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, n, lanes), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (s, n, lanes), 2)
+
+    out_ref[:] = jnp.where(row_ids == col_ids, 1.0, 0.0).astype(
+        m_ref.dtype)
+
+    def step(t, _):
+        k0 = t * rank
+        m = m_ref[:]
+        inv = out_ref[:]
+        # panel columns (original rows) and panel rows, via dynamic rolls
+        a_lanes = pltpu.roll(m, (lanes - k0) % lanes, 2)   # cols k0.. -> 0..
+        f_cols = a_lanes[:, :, 0:rank]                     # (S, n, r)
+        slab_m = pltpu.roll(a_lanes, (n - k0) % n, 1)[:, 0:rank, :]
+        # (S, r, L): rows k0..k0+r in LANE-ROLLED space (pivot j at lane j)
+        slab_i = pltpu.roll(inv, (n - k0) % n, 1)[:, 0:rank, :]
+
+        # sequential within-panel elimination (static tiny ops)
+        for j in range(rank):
+            piv = slab_m[:, j:j + 1, j:j + 1]              # (S,1,1)
+            inv_p = 1.0 / piv
+            rm = slab_m[:, j:j + 1, :] * inv_p             # (S,1,L)
+            ri = slab_i[:, j:j + 1, :] * inv_p
+            fac = slab_m[:, :, j:j + 1]                    # (S,r,1)
+            fac = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (s, rank, 1), 1) == j,
+                0.0, fac)
+            slab_m = slab_m - fac * rm
+            slab_i = slab_i - fac * ri
+            one_hot = jax.lax.broadcasted_iota(
+                jnp.int32, (s, rank, 1), 1) == j
+            slab_m = jnp.where(one_hot, rm, slab_m)
+            slab_i = jnp.where(one_hot, ri, slab_i)
+
+        # back to original lane space
+        r_m = pltpu.roll(slab_m, k0, 2)                    # (S,r,L)
+        r_i = slab_i
+
+        in_panel = (row_ids >= k0) & (row_ids < k0 + rank)   # (S,n,L)
+        fz = jnp.where(in_panel[:, :, 0:rank], 0.0, f_cols)  # zero panel rows
+
+        # fused multi-rank-1 update + panel-row write-back
+        upd_m = m
+        upd_i = inv
+        for j in range(rank):
+            upd_m = upd_m - fz[:, :, j:j + 1] * r_m[:, j:j + 1, :]
+            upd_i = upd_i - fz[:, :, j:j + 1] * r_i[:, j:j + 1, :]
+        # scatter the eliminated panel rows back: roll them into place
+        pad_m = jnp.zeros((s, n, lanes), m.dtype).at[:, 0:rank, :].set(r_m)
+        pad_i = jnp.zeros((s, n, lanes), m.dtype).at[:, 0:rank, :].set(r_i)
+        m_ref[:] = jnp.where(in_panel, pltpu.roll(pad_m, k0, 1), upd_m)
+        out_ref[:] = jnp.where(in_panel, pltpu.roll(pad_i, k0, 1), upd_i)
+        return 0
+
+    jax.lax.fori_loop(0, n_steps // rank, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("rank", "block", "interpret"))
+def batched_inverse_rank(m: jnp.ndarray, rank: int = 2, block: int = 16,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Invert a batch of SPD matrices with the rank-r aggregated GJ
+    kernel: (B, n, n) -> (B, n, n). Same contract as
+    :func:`batched_inverse`."""
+    b, n, _ = m.shape
+    n_pad = max(LANE, ((n + LANE - 1) // LANE) * LANE)
+    b_pad = ((b + block - 1) // block) * block
+    n_steps = ((n + rank - 1) // rank) * rank   # extra pivots hit identity
+    mm = jnp.zeros((b_pad, n_pad, n_pad), m.dtype)
+    mm = mm.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+    mm = mm.at[:b, :n, :n].set(m)
+
+    out = pl.pallas_call(
+        functools.partial(_gj_rank_r_kernel, n_steps=n_steps, rank=rank),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad), m.dtype),
+        grid=(b_pad // block,),
+        in_specs=[pl.BlockSpec((block, n_pad, n_pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, n_pad, n_pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(mm)
+    return out[:b, :n, :n]
+
+
 def _fused_admm_kernel(minv_ref, a_ref, q_ref, l_ref, u_ref, rho_ref,
                        x0_ref, y0_ref, z0_ref, xo_ref, yo_ref, zo_ref,
                        *, iters: int, sigma: float, alpha: float):

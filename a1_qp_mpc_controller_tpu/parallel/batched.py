@@ -30,6 +30,7 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
                          admm_backend: str = "xla",
                          admm_block: int = 16,
                          kkt_backend: str = "gj",
+                         return_stats: bool = False,
                          interpret: bool = False):
     """One batched MPC control tick with the KKT factorization (and
     optionally the whole ADMM loop) hoisted out of vmap.
@@ -91,9 +92,14 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
             cfg.mpc_qp_iters, settings, prob.warm_x, prob.warm_y,
             prob.rho0, mem.mpc_scaling, minv, block=admm_block,
             interpret=interpret)
-        return jax.vmap(
+        out = jax.vmap(
             lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)
         )(params_b, cs, mem, sol)
+        if return_stats:
+            stats = {"converged": sol.converged,
+                     "prim_res": sol.prim_res, "dual_res": sol.dual_res}
+            return out + (stats,)
+        return out
 
     m_b = jax.vmap(lambda pr, sc: qpx.scaled_kkt_matrix(
         pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, settings, pr.rho0, sc)

@@ -259,3 +259,39 @@ def test_rho_carry_improves_fixed_solves(rng):
     err_carried = np.abs(np.asarray(sol.x[:12]) - x_ref[:12]).max()
     assert err_carried < err_cold * 0.1
     assert err_carried < 0.5
+
+
+class TestRankRGJKernel:
+    def test_matches_flat_gj(self, rng):
+        from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+            batched_inverse, batched_inverse_rank,
+        )
+        import jax.numpy as jnp
+        import numpy as np
+        q, _ = np.linalg.qr(rng.normal(size=(3, 120, 120)))
+        ev = np.exp(rng.uniform(0, np.log(1e4), size=(3, 120)))
+        m = ((q * ev[:, None, :]) @ np.swapaxes(q, 1, 2)).astype(np.float32)
+        m64 = m.astype(np.float64)
+        x_flat = np.asarray(batched_inverse(
+            jnp.asarray(m), block=3, interpret=True), np.float64)
+        for r in (2, 4):
+            x = np.asarray(batched_inverse_rank(
+                jnp.asarray(m), rank=r, block=3, interpret=True),
+                np.float64)
+            resid = np.max(np.abs(np.eye(120) - x @ m64))
+            resid_flat = np.max(np.abs(np.eye(120) - x_flat @ m64))
+            assert resid < 10 * resid_flat + 1e-3, (r, resid, resid_flat)
+
+    def test_non_multiple_rank(self, rng):
+        from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+            batched_inverse_rank,
+        )
+        import jax.numpy as jnp
+        import numpy as np
+        q, _ = np.linalg.qr(rng.normal(size=(2, 30, 30)))
+        ev = np.exp(rng.uniform(0, np.log(100), size=(2, 30)))
+        m = ((q * ev[:, None, :]) @ np.swapaxes(q, 1, 2)).astype(np.float32)
+        x = np.asarray(batched_inverse_rank(
+            jnp.asarray(m), rank=4, block=2, interpret=True), np.float64)
+        resid = np.max(np.abs(np.eye(30) - x @ m.astype(np.float64)))
+        assert resid < 1e-3, resid
