@@ -339,9 +339,11 @@ def _gj_rank_r_kernel(m_ref, out_ref, *, n_steps: int, rank: int):
         for j in range(rank):
             upd_m = upd_m - fz[:, :, j:j + 1] * r_m[:, j:j + 1, :]
             upd_i = upd_i - fz[:, :, j:j + 1] * r_i[:, j:j + 1, :]
-        # scatter the eliminated panel rows back: roll them into place
-        pad_m = jnp.zeros((s, n, lanes), m.dtype).at[:, 0:rank, :].set(r_m)
-        pad_i = jnp.zeros((s, n, lanes), m.dtype).at[:, 0:rank, :].set(r_i)
+        # place the eliminated panel rows back: pad + roll into position
+        # (concatenate, not .at[].set — Mosaic has no scatter lowering)
+        zrows = jnp.zeros((s, n - rank, lanes), m.dtype)
+        pad_m = jnp.concatenate([r_m, zrows], axis=1)
+        pad_i = jnp.concatenate([r_i, zrows], axis=1)
         m_ref[:] = jnp.where(in_panel, pltpu.roll(pad_m, k0, 1), upd_m)
         out_ref[:] = jnp.where(in_panel, pltpu.roll(pad_i, k0, 1), upd_i)
         return 0
@@ -350,11 +352,13 @@ def _gj_rank_r_kernel(m_ref, out_ref, *, n_steps: int, rank: int):
 
 
 @functools.partial(jax.jit, static_argnames=("rank", "block", "interpret"))
-def batched_inverse_rank(m: jnp.ndarray, rank: int = 2, block: int = 16,
+def batched_inverse_rank(m: jnp.ndarray, rank: int = 2, block: int = 8,
                          interpret: bool = False) -> jnp.ndarray:
     """Invert a batch of SPD matrices with the rank-r aggregated GJ
     kernel: (B, n, n) -> (B, n, n). Same contract as
-    :func:`batched_inverse`."""
+    :func:`batched_inverse`. The kernel keeps ~8 (block, n, n) live
+    temporaries (rolled copies, pads, updates), so ``block`` > 8 exceeds
+    the 16 MB VMEM scoped limit at n=128."""
     b, n, _ = m.shape
     n_pad = max(LANE, ((n + LANE - 1) // LANE) * LANE)
     b_pad = ((b + block - 1) // block) * block
@@ -574,6 +578,11 @@ def _fused_admm_shared_kernel(a0_ref, a1_ref, minv_ref, d_ref,
     inv_rho = 1.0 / rho
 
     f32 = jnp.float32
+    # HIGHEST is essential: Mosaic's default f32 dot runs at bf16 MXU
+    # precision, which floors the ADMM primal residual at ~1e-2 relative
+    # (measured: the solver never meets OSQP's 1e-3 tolerances on-chip
+    # while the interpret-mode kernel converges fine)
+    hi = jax.lax.Precision.HIGHEST
     contract_m = (((1,), (0,)), ((), ()))   # (S,M)@(M,n) -> (S,n)
     contract_n = (((1,), (1,)), ((), ()))   # (S,n)@(M,n)' -> (S,M)
 
@@ -581,17 +590,21 @@ def _fused_admm_shared_kernel(a0_ref, a1_ref, minv_ref, d_ref,
         x, y, z = xyz
         w = rho * z - y                                        # (S,M)
         atw = (jax.lax.dot_general(e * w, a0, contract_m,
-                                   preferred_element_type=f32)
+                                   preferred_element_type=f32,
+                                   precision=hi)
                + jax.lax.dot_general(me * w, a1, contract_m,
-                                     preferred_element_type=f32))
+                                     preferred_element_type=f32,
+                                     precision=hi))
         rhs = sigma * x - q + d * atw                          # (S,n)
         xt = jnp.sum(m * rhs[:, :, None], axis=1)              # sym Minv
         x1 = alpha * xt + (1.0 - alpha) * x
         xd = d * xt
         ax = (e * jax.lax.dot_general(xd, a0, contract_n,
-                                      preferred_element_type=f32)
+                                      preferred_element_type=f32,
+                                      precision=hi)
               + me * jax.lax.dot_general(xd, a1, contract_n,
-                                         preferred_element_type=f32))
+                                         preferred_element_type=f32,
+                                         precision=hi))
         zp = alpha * ax + (1.0 - alpha) * z
         z1 = jnp.clip(zp + y * inv_rho, lb, ub)
         y1 = y + rho * (zp - z1)
