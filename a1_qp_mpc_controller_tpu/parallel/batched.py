@@ -127,6 +127,27 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     )(params_b, cs, mem, sol)
 
 
+def make_bench_state(cfg: A1Config, key: jax.Array, n: int,
+                     base: RobotParams):
+    """A PHYSICAL batched controller state for throughput benchmarking:
+    domain-randomized params + a consistent standing pose on flat ground
+    with sensors read from the in-framework plant (joint angles from IK,
+    real foot forces) — unlike an all-zeros synthetic SensorData, whose
+    FK-at-zero foot positions make a badly-scaled MPC problem that a
+    fixed-iteration solver cannot meet OSQP tolerances on.
+    Returns (params_b, cs_b, mem_b, sensors_b)."""
+    params = randomize_params(key, n, base)
+    terr = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,)), terrain_mod.Terrain.flat())
+    carry = jax.vmap(
+        lambda p, t: cl.make_standing_start(cfg, p, t))(params, terr)
+    dt = jnp.asarray(cfg.control_dt, jnp.float32)
+    sensors = jax.vmap(
+        lambda p, ps, pv: plant_mod.read_sensors(p, ps, pv, dt)
+    )(params, carry.ps, carry.prev_root_lin_vel)
+    return params, carry.cs, carry.mem, sensors
+
+
 def randomize_params(key: jax.Array, n: int, base: RobotParams
                      ) -> RobotParams:
     """Per-scenario physical randomization: mass +-20%, inertia +-20%,

@@ -51,32 +51,11 @@ def build():
 
 
 def make_batch_state(cfg, params, batch):
-    from a1_qp_mpc_controller_tpu.parallel.batched import randomize_params
-    from a1_qp_mpc_controller_tpu.types import (
-        CtrlMem, CtrlState, SensorData,
-    )
+    """Physical standing-pose batch (IK joint angles, plant-read sensors)
+    — see parallel.batched.make_bench_state."""
+    from a1_qp_mpc_controller_tpu.parallel.batched import make_bench_state
 
-    key = jax.random.PRNGKey(0)
-    pb = randomize_params(key, batch, params)
-    cs = jax.vmap(lambda _: CtrlState.init(cfg, params))(jnp.arange(batch))
-    k1, k2 = jax.random.split(key)
-    cs = cs.replace(
-        root_pos=jnp.concatenate(
-            [jax.random.uniform(k1, (batch, 2), minval=-0.05, maxval=0.05),
-             jax.random.uniform(k2, (batch, 1), minval=0.27, maxval=0.32)],
-            axis=1),
-        foot_pos_abs=jnp.broadcast_to(params.default_foot_pos,
-                                      (batch, 4, 3)),
-        contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
-                                  (batch, 4)),
-    )
-    mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(batch))
-    sensors = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(batch))
-    sensors = sensors.replace(
-        root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (batch, 4)),
-        foot_force=jnp.full((batch, 4), 60.0),
-    )
-    return pb, cs, mem, sensors
+    return make_bench_state(cfg, jax.random.PRNGKey(0), batch, params)
 
 
 def bench_throughput(batch: int, backend: str, ticks: int = 20,
@@ -96,7 +75,7 @@ def bench_throughput(batch: int, backend: str, ticks: int = 20,
         def tick(cs, mem):
             return batched_control_tick(
                 cfg, pb, cs, mem, sensors, joy, dt,
-                admm_backend="pallas_shared", kkt_block=32, admm_block=64)
+                admm_backend="pallas_shared", kkt_block=16, admm_block=64)
     else:
         def tick(cs, mem):
             cs, mem, tq = jax.vmap(
@@ -126,7 +105,17 @@ def bench_throughput(batch: int, backend: str, ticks: int = 20,
         cs2.joint_torques.block_until_ready()
         dt_wall = time.perf_counter() - t0
         best = max(best, batch * ticks / dt_wall)
-    return best
+
+    # solution-quality audit on the post-scan state: fraction of scenarios
+    # meeting OSQP's default tolerances (eps_abs = eps_rel = 1e-3)
+    conv = None
+    if backend == "pallas_shared":
+        _, _, _, stats = jax.jit(lambda c, m: batched_control_tick(
+            cfg, pb, c, m, sensors, joy, dt,
+            admm_backend="pallas_shared", kkt_block=16, admm_block=64,
+            return_stats=True))(cs2, mem2)
+        conv = float(jnp.mean(stats["converged"].astype(jnp.float32)))
+    return best, conv
 
 
 def bench_latency_device(ticks: int = 400) -> float:
@@ -208,11 +197,13 @@ def main():
 
     best = 0.0
     best_batch = 0
+    best_conv = None
     for batch in (1024, 2048, 4096):
-        sps = bench_throughput(batch, "pallas_shared")
-        log(f"  pallas_shared batch={batch}: {sps:,.0f} solves/s")
+        sps, conv = bench_throughput(batch, "pallas_shared")
+        log(f"  pallas_shared batch={batch}: {sps:,.0f} solves/s "
+            f"(converged frac {conv})")
         if sps > best:
-            best, best_batch = sps, batch
+            best, best_batch, best_conv = sps, batch, conv
     log(f"best: {best:,.0f} solves/s/chip at batch={best_batch}; "
         f"device-resident latency {lat_dev:.3f} ms")
 
@@ -229,6 +220,7 @@ def main():
             "best_batch": best_batch,
             "admm_iters_per_solve": 50,
             "batched_backend": "pallas_shared",
+            "converged_frac_osqp_tol": best_conv,
         },
     }))
 

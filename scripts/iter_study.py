@@ -32,37 +32,20 @@ def main():
 
     from a1_qp_mpc_controller_tpu.config import load_profile
     from a1_qp_mpc_controller_tpu.parallel.batched import (
-        batched_control_tick, randomize_params,
+        batched_control_tick, make_bench_state,
     )
-    from a1_qp_mpc_controller_tpu.types import (
-        CtrlMem, CtrlState, JoyCmd, SensorData,
-    )
+    from a1_qp_mpc_controller_tpu.types import JoyCmd
 
     b = args.batch
     key = jax.random.PRNGKey(0)
     base_cfg, params = load_profile("gazebo_mpc")
-    pb = randomize_params(key, b, params)
     joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
                                  velx=jnp.float32(0.3))
 
     for iters in (15, 20, 25, 30, 40, 50):
         cfg = dataclasses.replace(base_cfg, mpc_qp_iters=iters,
                                   mpc_solver_mode="fixed")
-        cs = jax.vmap(lambda _: CtrlState.init(cfg, params))(jnp.arange(b))
-        cs = cs.replace(
-            root_pos=jnp.concatenate(
-                [jax.random.uniform(key, (b, 2), minval=-0.05,
-                                    maxval=0.05),
-                 jnp.full((b, 1), 0.3)], axis=1),
-            foot_pos_abs=jnp.broadcast_to(params.default_foot_pos,
-                                          (b, 4, 3)),
-            contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
-                                      (b, 4)))
-        mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(b))
-        sensors = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(b))
-        sensors = sensors.replace(
-            root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (b, 4)),
-            foot_force=jnp.full((b, 4), 60.0))
+        pb, cs, mem, sensors = make_bench_state(cfg, key, b, params)
         dt = jnp.float32(cfg.control_dt)
 
         @jax.jit
@@ -71,8 +54,9 @@ def main():
                 cs, mem = carry
                 cs, mem, _, stats = batched_control_tick(
                     cfg, pb, cs, mem, sensors, joy, dt,
-                    admm_backend="pallas_shared", kkt_block=32,
-                    admm_block=64, return_stats=True)
+                    admm_backend="pallas_shared", kkt_block=16,
+                    admm_block=64, return_stats=True,
+                    interpret=args.cpu)
                 return (cs, mem), (jnp.mean(
                     stats["converged"].astype(jnp.float32)),
                     jnp.max(stats["prim_res"]), jnp.max(stats["dual_res"]))
