@@ -5,6 +5,8 @@ but table stakes for a force controller)."""
 
 import dataclasses
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -75,3 +77,27 @@ def test_push_recovery_during_trot():
     assert np.abs(eu[-400:, 0]).max() < 0.1          # roll recovered
     vy = np.asarray(trace.root_lin_vel)[-400:, 1]
     assert np.abs(vy).mean() < 0.08                  # lateral vel damped
+
+
+class TestHorizonScaling:
+    """The MPC horizon is a static shape parameter (SURVEY.md §5's
+    'sequence scaling' axis): the closed-form A_d powers and block-
+    Toeplitz condensation work unchanged at any H, and the whole control
+    loop stays stable at shorter and longer horizons."""
+
+    @pytest.mark.parametrize("horizon", [5, 20])
+    def test_closed_loop_trot_at_horizon(self, horizon):
+        import dataclasses
+        from a1_qp_mpc_controller_tpu.config import load_profile
+        from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+        from a1_qp_mpc_controller_tpu.sim import terrain as tr
+
+        cfg, params = load_profile("gazebo_mpc")
+        cfg = dataclasses.replace(cfg, horizon=horizon)
+        carry = cl.make_standing_start(cfg, params, tr.Terrain.flat())
+        joy = cl.joy_schedule(300, walk_after=100, velx=0.3)
+        carry, _ = cl.rollout(cfg, params, tr.Terrain.flat(), carry, joy,
+                              300)
+        z = float(carry.ps.root_pos[2])
+        assert 0.2 < z < 0.4
+        assert float(carry.ps.root_pos[0]) > 0.03
