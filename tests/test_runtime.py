@@ -140,3 +140,15 @@ def test_cli_bad_terrain_errors():
         capture_output=True, text=True, timeout=120)
     assert out.returncode != 0
     assert "volcano" in out.stderr
+
+
+def test_time_scan_measures_and_preserves_dependency():
+    import jax.numpy as jnp
+    from a1_qp_mpc_controller_tpu.runtime.profiling import time_scan
+
+    calls = []
+    per = time_scan(lambda c: c * 1.000001 + 1.0,
+                    jnp.ones((64, 64)), repeats=5, reps=2,
+                    name="unit", printer=calls.append)
+    assert per > 0
+    assert len(calls) == 1 and "unit" in calls[0]
