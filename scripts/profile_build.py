@@ -18,24 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-R = 10
+R = 10  # on-device repetitions per dispatch
 
 
 def time_scan(step, init, name, reps=3):
-    @jax.jit
-    def run(c):
-        return jax.lax.scan(lambda c, _: (step(c), None), c, None,
-                            length=R)[0]
-    out = run(init)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = run(init)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:44s} {best * 1e3 / R:9.3f} ms/iter")
-    return best / R
+    from a1_qp_mpc_controller_tpu.runtime.profiling import (
+        time_scan as _ts,
+    )
+    return _ts(step, init, repeats=R, reps=reps, name=name)
 
 
 def main():
