@@ -615,6 +615,162 @@ def batched_inverse_spd(m: jnp.ndarray, block: int = 8,
     return out[:b, :n, :n]
 
 
+def _gj_inverse_T_kernel(m_ref, out_ref, *, n_steps: int):
+    """Transposed-layout Gauss-Jordan: arrays are (n_i, n_j, S) — ROWS in
+    the untiled leading dim, COLUMNS in sublanes, the SCENARIO BATCH in
+    lanes. Compared to the batch-leading `_gj_inverse_kernel`:
+
+    - the pivot row is a FREE dynamic slice ``ref[pl.ds(k, 1)]`` (leading
+      dim is untiled — dynamic indexing is legal there), not a masked
+      full-array reduction;
+    - the scaled pivot row writes back as a direct store, not a
+      whole-array select;
+    - the pivot column extraction is a keepdims sublane reduction whose
+      (n, 1, S) result broadcasts into the rank-1 update with NO relayout;
+    - n need only be a multiple of the 8-sublane granule (120 qualifies),
+      so no identity padding and no wasted pivots — only the batch pads
+      to the 128-lane width.
+    """
+    n_i, n_j, s = m_ref.shape
+    j3 = jax.lax.broadcasted_iota(jnp.int32, (n_i, n_j, s), 1)
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (n_i, 1, s), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, n_j, s), 1)
+
+    out_ref[:] = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (n_i, n_j, s), 0) == j3,
+        1.0, 0.0).astype(m_ref.dtype)
+
+    def step(k, _):
+        m = m_ref[:]
+        c = jnp.sum(jnp.where(j3 == k, m, 0.0), axis=1,
+                    keepdims=True)                       # (n_i,1,S) col k
+        rm = m_ref[pl.ds(k, 1)]                          # (1,n_j,S) row k
+        ri = out_ref[pl.ds(k, 1)]
+        d = jnp.sum(jnp.where(jj == k, rm, 0.0), axis=1,
+                    keepdims=True)                       # (1,1,S)
+        inv_d = 1.0 / d
+        rdm = rm * inv_d
+        rdi = ri * inv_d
+        f = jnp.where(i3 == k, 0.0, c)                   # zero at pivot row
+        m_ref[:] = m - f * rdm
+        inv = out_ref[:]
+        out_ref[:] = inv - f * rdi
+        m_ref[pl.ds(k, 1)] = rdm
+        out_ref[pl.ds(k, 1)] = rdi
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sblock", "interpret"))
+def batched_inverse_T(m: jnp.ndarray, sblock: int = 64,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Invert a batch of SPD matrices with the transposed-layout GJ kernel:
+    (B, n, n) -> (B, n, n). ``sblock`` scenarios ride the LANE axis per
+    grid step (128 fills the lanes; two (n,n,128) f32 arrays at n=120 are
+    ~14.7 MB, just under the VMEM limit — use 64 if the toolchain's
+    scratch accounting overflows)."""
+    b, n, _ = m.shape
+    n_pad = _round_up(n, 8)
+    b_pad = _round_up(b, sblock)
+    mt = jnp.zeros((n_pad, n_pad, b_pad), m.dtype)
+    mt = mt.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+    mt = mt.at[:n, :n, :b].set(jnp.transpose(m, (1, 2, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_gj_inverse_T_kernel, n_steps=n),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), m.dtype),
+        grid=(b_pad // sblock,),
+        in_specs=[pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(mt)
+    return jnp.transpose(out[:n, :n, :b], (2, 0, 1))
+
+
+def _sweep_inverse_T_kernel(m_ref, out_ref, *, n_steps: int,
+                            sym_col: bool):
+    """Transposed-layout symmetric sweep-operator inversion (single
+    working array — sweeping every pivot of an SPD matrix yields -A^-1,
+    and the working matrix stays symmetric throughout).
+
+    Layout (n_i, n_j, S) as in :func:`_gj_inverse_T_kernel`. Per pivot:
+    one pivot-column extraction, one fused rank-1 update + column fix,
+    one direct pivot-row store — roughly 3 full-array passes against ~7
+    for the two-array batch-leading GJ.
+
+    ``sym_col``: exploit symmetry to obtain the pivot COLUMN by
+    relayouting the freely-sliced pivot ROW ((1,n,S) -> (n,1,S) axis
+    swap) instead of a masked full-array reduction — one fewer full pass
+    if Mosaic lowers the thin transpose well."""
+    n_i, n_j, s = m_ref.shape
+    j3 = jax.lax.broadcasted_iota(jnp.int32, (n_i, n_j, s), 1)
+    i3 = jax.lax.broadcasted_iota(jnp.int32, (n_i, 1, s), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, n_j, s), 1)
+
+    out_ref[:] = m_ref[:]
+
+    def step(k, _):
+        w = out_ref[:]
+        rk = out_ref[pl.ds(k, 1)]                        # (1,n_j,S) row k
+        if sym_col:
+            c = jnp.swapaxes(rk, 0, 1)                   # (n_i,1,S) col k
+        else:
+            c = jnp.sum(jnp.where(j3 == k, w, 0.0), axis=1,
+                        keepdims=True)
+        d = jnp.sum(jnp.where(jj == k, rk, 0.0), axis=1,
+                    keepdims=True)                       # (1,1,S)
+        inv_d = 1.0 / d
+        rd_row = rk * inv_d                              # (1,n_j,S)
+        rd_col = c * inv_d                               # (n_i,1,S)
+        upd = w - c * rd_row                             # rank-1 update
+        upd = jnp.where(j3 == k, rd_col, upd)            # column fix
+        out_ref[:] = upd
+        out_ref[pl.ds(k, 1)] = jnp.where(jj == k, -inv_d, rd_row)
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step, 0)
+    out_ref[:] = -out_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("sblock", "sym_col",
+                                             "interpret"))
+def batched_inverse_sweep_T(m: jnp.ndarray, sblock: int = 128,
+                            sym_col: bool = False,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Invert a batch of SPD matrices with the transposed-layout sweep
+    kernel: (B, n, n) -> (B, n, n). Single working array => a full
+    128-lane scenario block at n=120 fits VMEM comfortably. Same numerics
+    class as sequential GJ (rank-1 pivots, no Schur shortcuts)."""
+    b, n, _ = m.shape
+    n_pad = _round_up(n, 8)
+    b_pad = _round_up(b, sblock)
+    mt = jnp.zeros((n_pad, n_pad, b_pad), m.dtype)
+    mt = mt.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+    mt = mt.at[:n, :n, :b].set(jnp.transpose(m, (1, 2, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_inverse_T_kernel, n_steps=n,
+                          sym_col=sym_col),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), m.dtype),
+        grid=(b_pad // sblock,),
+        in_specs=[pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(mt)
+    # identity pad rows sweep to -1 on the diagonal and are sliced off;
+    # the [:n,:n] block is exactly the inverse
+    return jnp.transpose(out[:n, :n, :b], (2, 0, 1))
+
+
 def _fused_admm_shared_kernel(a0_ref, a1_ref, minv_ref, d_ref,
                               e_ref, me_ref, q_ref, l_ref, u_ref, rho_ref,
                               x0_ref, y0_ref, z0_ref,

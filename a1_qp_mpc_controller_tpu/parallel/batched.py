@@ -46,8 +46,11 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     scenario-resident Pallas kernel (ops/pallas_kernels.fused_admm)
     with ``admm_block`` scenarios per grid step.
     ``kkt_backend`` picks the inverse kernel on the 'pallas_shared'
-    route: 'gj' (flat Gauss-Jordan) or 'schur' (recursive
-    Schur-complement block inversion — MXU GEMMs + 32-pivot GJ bases).
+    route: 'gj' (flat batch-leading Gauss-Jordan), 'sweep_t'
+    (transposed-layout batch-in-lanes symmetric sweep), 'gj_t'
+    (transposed-layout two-array GJ), or 'schur' (recursive
+    Schur-complement block inversion — MXU GEMMs + 32-pivot GJ bases;
+    numerically unsafe on the KKT family, benchmark only).
     """
     from a1_qp_mpc_controller_tpu.control import grf
     from a1_qp_mpc_controller_tpu.control.controller import (
@@ -56,7 +59,8 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     from a1_qp_mpc_controller_tpu.models import srb
     from a1_qp_mpc_controller_tpu.ops import qp as qpx
     from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
-        batched_inverse, spd_block_inverse,
+        batched_inverse, batched_inverse_sweep_T, batched_inverse_T,
+        spd_block_inverse,
     )
 
     assert cfg.mpc_solver_mode == "fixed"
@@ -84,6 +88,12 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         if kkt_backend == "schur":
             minv = spd_block_inverse(m_b, base=32, block=max(kkt_block, 64),
                                      interpret=interpret)
+        elif kkt_backend == "sweep_t":
+            minv = batched_inverse_sweep_T(
+                m_b, sblock=min(128, m_b.shape[0]), interpret=interpret)
+        elif kkt_backend == "gj_t":
+            minv = batched_inverse_T(
+                m_b, sblock=min(64, m_b.shape[0]), interpret=interpret)
         else:
             minv = batched_inverse(m_b, block=kkt_block,
                                    interpret=interpret)

@@ -70,27 +70,40 @@ def main():
     print(f"batch={b} n={m_b.shape[1]} device={jax.devices()[0]}",
           flush=True)
 
-    eps = jnp.float32(1e-30)
-    time_scan(lambda mi: jnp.linalg.inv(m_b + eps * mi), m_b, "XLA LU inv")
-    for blk in (16, 32):
-        time_scan(functools.partial(
-            lambda mi, blk: batched_inverse(m_b + eps * mi, block=blk),
-            blk=blk), m_b, f"flat GJ blk={blk}")
-    for base in (16, 32, 64):
-        for blk in (32, 64, 128):
-            time_scan(functools.partial(
-                lambda mi, base, blk: spd_block_inverse(
-                    m_b + eps * mi, base=base, block=blk),
-                base=base, blk=blk), m_b,
-                f"schur base={base} blk={blk}")
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse_T, batched_inverse_sweep_T,
+    )
 
-    # accuracy check: residual ||I - X M||_inf
-    x_gj = batched_inverse(m_b, block=16)
-    x_sc = spd_block_inverse(m_b, base=32, block=64)
+    eps = jnp.float32(1e-30)
+    time_scan(functools.partial(
+        lambda mi: batched_inverse(m_b + eps * mi, block=16)),
+        m_b, "flat GJ blk=16 (production)")
+    for sblk in (64, 128):
+        time_scan(functools.partial(
+            lambda mi, sblk: batched_inverse_sweep_T(
+                m_b + eps * mi, sblock=sblk),
+            sblk=sblk), m_b, f"sweep_T sblock={sblk}")
+    time_scan(functools.partial(
+        lambda mi: batched_inverse_sweep_T(m_b + eps * mi, sblock=128,
+                                           sym_col=True)),
+        m_b, "sweep_T sblock=128 sym_col")
+    for sblk in (32, 64):
+        time_scan(functools.partial(
+            lambda mi, sblk: batched_inverse_T(m_b + eps * mi,
+                                               sblock=sblk),
+            sblk=sblk), m_b, f"gj_T sblock={sblk}")
+
+    # accuracy check: residual ||I - X M||_inf on the KKT family
     eye = jnp.eye(m_b.shape[1])
-    r_gj = jnp.max(jnp.abs(eye - jnp.einsum("bij,bjk->bik", x_gj, m_b)))
-    r_sc = jnp.max(jnp.abs(eye - jnp.einsum("bij,bjk->bik", x_sc, m_b)))
-    print(f"residual GJ={float(r_gj):.2e}  schur={float(r_sc):.2e}")
+    for name, x in (
+        ("GJ", batched_inverse(m_b, block=16)),
+        ("sweep_T", batched_inverse_sweep_T(m_b, sblock=128)),
+        ("sweep_T_sym", batched_inverse_sweep_T(m_b, sblock=128,
+                                                sym_col=True)),
+        ("gj_T", batched_inverse_T(m_b, sblock=64)),
+    ):
+        r = jnp.max(jnp.abs(eye - jnp.einsum("bij,bjk->bik", x, m_b)))
+        print(f"residual {name:12s} {float(r):.2e}", flush=True)
 
 
 if __name__ == "__main__":

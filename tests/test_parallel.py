@@ -316,6 +316,30 @@ def test_pallas_sweep_inverse_interpret(rng):
     assert resid < 1e-4
 
 
+def test_pallas_transposed_inverse_interpret(rng):
+    """Transposed-layout (batch-in-lanes) GJ and sweep kernels match the
+    dense inverse, including non-multiple-of-8 n (sublane padding) and
+    batch not a multiple of sblock (lane padding)."""
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse_T, batched_inverse_sweep_T,
+    )
+    for n in (12, 120):
+        a = rng.standard_normal((5, n, n)).astype(np.float32)
+        m = np.einsum("bij,bkj->bik", a, a) / n + 0.1 * np.eye(n)[None]
+        m = 0.5 * (m + m.transpose(0, 2, 1))
+        for f in (
+            lambda x: batched_inverse_T(x, sblock=2, interpret=True),
+            lambda x: batched_inverse_sweep_T(x, sblock=2,
+                                              interpret=True),
+            lambda x: batched_inverse_sweep_T(x, sblock=2, sym_col=True,
+                                              interpret=True),
+        ):
+            out = np.asarray(f(jnp.asarray(m)))
+            resid = np.abs(np.einsum("bij,bjk->bik", out, m)
+                           - np.eye(n)[None]).max()
+            assert resid < 1e-4, n
+
+
 def test_pallas_small_inverse_interpret(rng):
     from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
         batched_inverse_small,
