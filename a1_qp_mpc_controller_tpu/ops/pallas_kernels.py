@@ -764,6 +764,10 @@ def batched_inverse_sweep_T(m: jnp.ndarray, sblock: int = 128,
         out_specs=pl.BlockSpec((n_pad, n_pad, sblock),
                                lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
+        # single working array: donate the (fresh, transposed) input so
+        # the in/out VMEM windows coincide — halves resident VMEM, which
+        # is what lets a full 128-lane scenario block fit at n=120
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(mt)
     # identity pad rows sweep to -1 on the diagonal and are sliced off;

@@ -62,7 +62,7 @@ def make_batch_state(cfg, params, batch):
 
 
 def bench_throughput(batch: int, backend: str, ticks: int = 20,
-                     reps: int = 3) -> float:
+                     reps: int = 3, kkt_backend: str = "gj") -> float:
     """Batched MPC control ticks/s on one chip (solves/s)."""
     from a1_qp_mpc_controller_tpu.parallel.batched import (
         batched_control_tick,
@@ -78,7 +78,8 @@ def bench_throughput(batch: int, backend: str, ticks: int = 20,
         def tick(cs, mem):
             return batched_control_tick(
                 cfg, pb, cs, mem, sensors, joy, dt,
-                admm_backend="pallas_shared", kkt_block=16, admm_block=64)
+                admm_backend="pallas_shared", kkt_block=16, admm_block=64,
+                kkt_backend=kkt_backend)
     else:
         def tick(cs, mem):
             cs, mem, tq = jax.vmap(
@@ -116,7 +117,7 @@ def bench_throughput(batch: int, backend: str, ticks: int = 20,
         _, _, _, stats = jax.jit(lambda c, m: batched_control_tick(
             cfg, pb, c, m, sensors, joy, dt,
             admm_backend="pallas_shared", kkt_block=16, admm_block=64,
-            return_stats=True))(cs2, mem2)
+            kkt_backend=kkt_backend, return_stats=True))(cs2, mem2)
         conv = float(jnp.mean(stats["converged"].astype(jnp.float32)))
     return best, conv
 
@@ -198,17 +199,34 @@ def main():
     log(f"host-in-loop latency (incl. tunnel RTT): "
         f"p50={lat_host['p50_ms']:.2f} ms p99={lat_host['p99_ms']:.2f} ms")
 
+    # pick the KKT-inverse kernel empirically at batch 1024 (flat
+    # batch-leading GJ vs transposed-layout batch-in-lanes sweep), then
+    # scale the winner across batch sizes
     best = 0.0
     best_batch = 0
     best_conv = None
-    for batch in (1024, 2048, 4096):
-        sps, conv = bench_throughput(batch, "pallas_shared")
-        log(f"  pallas_shared batch={batch}: {sps:,.0f} solves/s "
+    best_kkt = "gj"
+    for kkt in ("sweep_t", "gj"):
+        try:
+            sps, conv = bench_throughput(1024, "pallas_shared",
+                                         kkt_backend=kkt)
+        except Exception as e:  # noqa: BLE001 - fall back to the other
+            log(f"  pallas_shared kkt={kkt} batch=1024 failed: "
+                f"{type(e).__name__}")
+            continue
+        log(f"  pallas_shared kkt={kkt} batch=1024: {sps:,.0f} solves/s "
             f"(converged frac {conv})")
         if sps > best:
+            best, best_batch, best_conv, best_kkt = sps, 1024, conv, kkt
+    for batch in (2048, 4096):
+        sps, conv = bench_throughput(batch, "pallas_shared",
+                                     kkt_backend=best_kkt)
+        log(f"  pallas_shared kkt={best_kkt} batch={batch}: "
+            f"{sps:,.0f} solves/s (converged frac {conv})")
+        if sps > best:
             best, best_batch, best_conv = sps, batch, conv
-    log(f"best: {best:,.0f} solves/s/chip at batch={best_batch}; "
-        f"device-resident latency {lat_dev:.3f} ms")
+    log(f"best: {best:,.0f} solves/s/chip at batch={best_batch} "
+        f"(kkt={best_kkt}); device-resident latency {lat_dev:.3f} ms")
 
     print(json.dumps({
         "metric": "mpc_solves_per_s_per_chip",
@@ -223,6 +241,7 @@ def main():
             "best_batch": best_batch,
             "admm_iters_per_solve": 25,
             "batched_backend": "pallas_shared",
+            "kkt_backend": best_kkt,
             "converged_frac_osqp_tol": best_conv,
         },
     }))

@@ -22,16 +22,20 @@ R = 10
 
 
 def time_scan(step, init, name, reps=3):
+    """step: carry -> carry. The carry is passed as a jit ARGUMENT (not a
+    closure) so large operands are never embedded as constants — constant
+    embedding forces a device->host->device round trip through the axon
+    tunnel and has been seen to abort the backend."""
     @jax.jit
-    def run(c):
-        return jax.lax.scan(lambda c, _: (step(c), None), c, None,
+    def run(c, m):
+        return jax.lax.scan(lambda c, _: (step(c, m), None), c, None,
                             length=R)[0]
-    out = run(init)
+    out = run(init, init)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = run(init)
+        out = run(init, init)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     print(f"{name:44s} {best * 1e3 / R:9.3f} ms/iter", flush=True)
@@ -75,22 +79,20 @@ def main():
     )
 
     eps = jnp.float32(1e-30)
-    time_scan(functools.partial(
-        lambda mi: batched_inverse(m_b + eps * mi, block=16)),
-        m_b, "flat GJ blk=16 (production)")
+    time_scan(lambda mi, m: batched_inverse(m + eps * mi, block=16),
+              m_b, "flat GJ blk=16 (production)")
     for sblk in (64, 128):
         time_scan(functools.partial(
-            lambda mi, sblk: batched_inverse_sweep_T(
-                m_b + eps * mi, sblock=sblk),
+            lambda mi, m, sblk: batched_inverse_sweep_T(
+                m + eps * mi, sblock=sblk),
             sblk=sblk), m_b, f"sweep_T sblock={sblk}")
-    time_scan(functools.partial(
-        lambda mi: batched_inverse_sweep_T(m_b + eps * mi, sblock=128,
-                                           sym_col=True)),
+    time_scan(lambda mi, m: batched_inverse_sweep_T(
+        m + eps * mi, sblock=128, sym_col=True),
         m_b, "sweep_T sblock=128 sym_col")
     for sblk in (32, 64):
         time_scan(functools.partial(
-            lambda mi, sblk: batched_inverse_T(m_b + eps * mi,
-                                               sblock=sblk),
+            lambda mi, m, sblk: batched_inverse_T(m + eps * mi,
+                                                  sblock=sblk),
             sblk=sblk), m_b, f"gj_T sblock={sblk}")
 
     # accuracy check: residual ||I - X M||_inf on the KKT family

@@ -287,6 +287,12 @@ def test_fused_admm_shared_tick_matches_vmapped():
         kkt_backend="schur", admm_block=2, kkt_block=2, interpret=True)
     np.testing.assert_allclose(np.asarray(sc_tq), np.asarray(ref_tq),
                                atol=2e-3)
+    # and with the transposed-layout sweep KKT-inverse backend
+    _, _, sw_tq = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt, admm_backend="pallas_shared",
+        kkt_backend="sweep_t", admm_block=2, kkt_block=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(sw_tq), np.asarray(ref_tq),
+                               atol=2e-3)
 
 
 def test_pallas_gj_inverse_interpret(rng):
