@@ -663,13 +663,13 @@ def _gj_inverse_T_kernel(m_ref, out_ref, *, n_steps: int):
 
 
 @functools.partial(jax.jit, static_argnames=("sblock", "interpret"))
-def batched_inverse_T(m: jnp.ndarray, sblock: int = 64,
+def batched_inverse_T(m: jnp.ndarray, sblock: int = 128,
                       interpret: bool = False) -> jnp.ndarray:
     """Invert a batch of SPD matrices with the transposed-layout GJ kernel:
     (B, n, n) -> (B, n, n). ``sblock`` scenarios ride the LANE axis per
-    grid step (128 fills the lanes; two (n,n,128) f32 arrays at n=120 are
-    ~14.7 MB, just under the VMEM limit — use 64 if the toolchain's
-    scratch accounting overflows)."""
+    grid step; on hardware the lane-dim block size MUST be a multiple of
+    128 (Mosaic block rule) — smaller values are for interpret-mode tests
+    only. Two (120,120,128) f32 arrays are ~14.7 MB of VMEM."""
     b, n, _ = m.shape
     n_pad = _round_up(n, 8)
     b_pad = _round_up(b, sblock)

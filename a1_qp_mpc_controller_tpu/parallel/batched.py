@@ -89,11 +89,15 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
             minv = spd_block_inverse(m_b, base=32, block=max(kkt_block, 64),
                                      interpret=interpret)
         elif kkt_backend == "sweep_t":
-            minv = batched_inverse_sweep_T(
-                m_b, sblock=min(128, m_b.shape[0]), interpret=interpret)
+            # the lane-dim block must be a multiple of 128 on hardware
+            # (small-batch interpret tests may use the batch size)
+            sblk = 128 if not interpret else min(128, m_b.shape[0])
+            minv = batched_inverse_sweep_T(m_b, sblock=sblk,
+                                           interpret=interpret)
         elif kkt_backend == "gj_t":
-            minv = batched_inverse_T(
-                m_b, sblock=min(64, m_b.shape[0]), interpret=interpret)
+            sblk = 128 if not interpret else min(64, m_b.shape[0])
+            minv = batched_inverse_T(m_b, sblock=sblk,
+                                     interpret=interpret)
         else:
             minv = batched_inverse(m_b, block=kkt_block,
                                    interpret=interpret)
