@@ -218,7 +218,10 @@ def main():
             f"(converged frac {conv})")
         if sps > best:
             best, best_batch, best_conv, best_kkt = sps, 1024, conv, kkt
-    for batch in (2048, 4096):
+    # batch sweep kept short: 4096 measured within noise of 1024/2048 in
+    # round 1, and every extra config is 2 more programs through a compile
+    # queue that has taken up to 45 min per program
+    for batch in (2048,):
         sps, conv = bench_throughput(batch, "pallas_shared",
                                      kkt_backend=best_kkt)
         log(f"  pallas_shared kkt={best_kkt} batch={batch}: "
