@@ -199,14 +199,21 @@ def main():
     log(f"host-in-loop latency (incl. tunnel RTT): "
         f"p50={lat_host['p50_ms']:.2f} ms p99={lat_host['p99_ms']:.2f} ms")
 
-    # pick the KKT-inverse kernel empirically at batch 1024 (flat
-    # batch-leading GJ vs transposed-layout batch-in-lanes sweep), then
-    # scale the winner across batch sizes
+    # pick the KKT-inverse kernel empirically at batch 1024, then scale
+    # the winner across batch sizes. The transposed-layout kernels are
+    # NOT in the default candidate list: this image's Mosaic build
+    # rejects them outright (tpu_compile_helper exit 1, 2026-08-21), and
+    # a candidate that only fails after a queue round-trip costs real
+    # wall time — re-enable via TPU_QMPC_BENCH_KKT=sweep_t,gj after a
+    # toolchain update.
+    import os
+    candidates = tuple(
+        os.environ.get("TPU_QMPC_BENCH_KKT", "gj").split(","))
     best = 0.0
     best_batch = 0
     best_conv = None
     best_kkt = "gj"
-    for kkt in ("sweep_t", "gj"):
+    for kkt in candidates:
         try:
             sps, conv = bench_throughput(1024, "pallas_shared",
                                          kkt_backend=kkt)
