@@ -692,6 +692,83 @@ def batched_inverse_T(m: jnp.ndarray, sblock: int = 128,
     return jnp.transpose(out[:n, :n, :b], (2, 0, 1))
 
 
+def _sweep_inverse_T_chunked_kernel(m_ref, out_ref, *, n_steps: int,
+                                    chunk: int):
+    """Row-chunked variant of :func:`_sweep_inverse_T_kernel`.
+
+    Identical math, but every full-array operation is issued as a static
+    Python loop over leading-dim slabs of ``chunk`` rows, so no value in
+    flight exceeds (chunk, n_j, S). Mosaic on this image crashes
+    (`tpu_compile_helper exit 1`) when asked to materialize
+    (120, 120, 128) values (~1.8k vector registers), while (8, n, 128)
+    slabs compile and run — verified by a tiny-shape probe; see
+    docs/ROADMAP.md round-3 notes."""
+    n_i, n_j, s = out_ref.shape
+    nch = n_i // chunk
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, n_j, s), 1)
+    j3c = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_j, s), 1)
+
+    for c in range(nch):
+        sl = pl.ds(c * chunk, chunk)
+        out_ref[sl] = m_ref[sl]
+
+    def step(k, _):
+        rk = out_ref[pl.ds(k, 1)]                        # (1,n_j,S) row k
+        d = jnp.sum(jnp.where(jj == k, rk, 0.0), axis=1,
+                    keepdims=True)                       # (1,1,S)
+        inv_d = 1.0 / d
+        rd_row = rk * inv_d
+        for c in range(nch):
+            sl = pl.ds(c * chunk, chunk)
+            w = out_ref[sl]                              # (chunk,n_j,S)
+            cc = jnp.sum(jnp.where(j3c == k, w, 0.0), axis=1,
+                         keepdims=True)                  # (chunk,1,S)
+            upd = w - cc * rd_row                        # rank-1 slab
+            upd = jnp.where(j3c == k, cc * inv_d, upd)   # column fix
+            out_ref[sl] = upd
+        out_ref[pl.ds(k, 1)] = jnp.where(jj == k, -inv_d, rd_row)
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step, 0)
+    for c in range(nch):
+        sl = pl.ds(c * chunk, chunk)
+        out_ref[sl] = -out_ref[sl]
+
+
+@functools.partial(jax.jit, static_argnames=("sblock", "chunk",
+                                             "interpret"))
+def batched_inverse_sweep_T_chunked(m: jnp.ndarray, sblock: int = 128,
+                                    chunk: int = 8,
+                                    interpret: bool = False
+                                    ) -> jnp.ndarray:
+    """Invert a batch of SPD matrices with the row-chunked transposed
+    sweep kernel: (B, n, n) -> (B, n, n). The variant of
+    :func:`batched_inverse_sweep_T` that this image's Mosaic build can
+    compile at n=120."""
+    b, n, _ = m.shape
+    n_pad = _round_up(n, max(8, chunk))
+    b_pad = _round_up(b, sblock)
+    mt = jnp.zeros((n_pad, n_pad, b_pad), m.dtype)
+    mt = mt.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+    mt = mt.at[:n, :n, :b].set(jnp.transpose(m, (1, 2, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_inverse_T_chunked_kernel, n_steps=n,
+                          chunk=chunk),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), m.dtype),
+        grid=(b_pad // sblock,),
+        in_specs=[pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(mt)
+    return jnp.transpose(out[:n, :n, :b], (2, 0, 1))
+
+
 def _sweep_inverse_T_kernel(m_ref, out_ref, *, n_steps: int,
                             sym_col: bool):
     """Transposed-layout symmetric sweep-operator inversion (single

@@ -59,8 +59,8 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     from a1_qp_mpc_controller_tpu.models import srb
     from a1_qp_mpc_controller_tpu.ops import qp as qpx
     from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
-        batched_inverse, batched_inverse_sweep_T, batched_inverse_T,
-        spd_block_inverse,
+        batched_inverse, batched_inverse_sweep_T_chunked,
+        batched_inverse_T, spd_block_inverse,
     )
 
     assert cfg.mpc_solver_mode == "fixed"
@@ -90,10 +90,11 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
                                      interpret=interpret)
         elif kkt_backend == "sweep_t":
             # the lane-dim block must be a multiple of 128 on hardware
-            # (small-batch interpret tests may use the batch size)
+            # (small-batch interpret tests may use the batch size); the
+            # row-chunked kernel is the one this Mosaic build compiles
             sblk = 128 if not interpret else min(128, m_b.shape[0])
-            minv = batched_inverse_sweep_T(m_b, sblock=sblk,
-                                           interpret=interpret)
+            minv = batched_inverse_sweep_T_chunked(m_b, sblock=sblk,
+                                                   interpret=interpret)
         elif kkt_backend == "gj_t":
             sblk = 128 if not interpret else min(64, m_b.shape[0])
             minv = batched_inverse_T(m_b, sblock=sblk,

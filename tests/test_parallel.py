@@ -329,6 +329,9 @@ def test_pallas_transposed_inverse_interpret(rng):
     from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
         batched_inverse_T, batched_inverse_sweep_T,
     )
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse_sweep_T_chunked,
+    )
     for n in (12, 120):
         a = rng.standard_normal((5, n, n)).astype(np.float32)
         m = np.einsum("bij,bkj->bik", a, a) / n + 0.1 * np.eye(n)[None]
@@ -339,6 +342,8 @@ def test_pallas_transposed_inverse_interpret(rng):
                                               interpret=True),
             lambda x: batched_inverse_sweep_T(x, sblock=2, sym_col=True,
                                               interpret=True),
+            lambda x: batched_inverse_sweep_T_chunked(x, sblock=2,
+                                                      interpret=True),
         ):
             out = np.asarray(f(jnp.asarray(m)))
             resid = np.abs(np.einsum("bij,bjk->bik", out, m)
