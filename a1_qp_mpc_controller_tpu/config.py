@@ -184,6 +184,13 @@ class RobotParams(struct.PyTreeNode):
     rho_fix: jnp.ndarray
     rho_opt: jnp.ndarray
 
+    # plant-side ground friction coefficient (NOT a controller gain —
+    # the physical mu of the simulated terrain; the reference validated
+    # against Gazebo's friction-capable ODE contacts, README.md:154-187).
+    # Default 0.8 > any controller cone mu, so nominal scenarios do not
+    # slip; lower it per scenario to exercise the friction cones.
+    mu_ground: jnp.ndarray           # ()
+
 
 def _leg_rho_fix() -> jnp.ndarray:
     rows = []
@@ -225,6 +232,7 @@ def default_robot_params(dtype=jnp.float32) -> RobotParams:
         torques_gravity=f([0.80, 0, 0, -0.80, 0, 0, 0.80, 0, 0, -0.80, 0, 0]),
         rho_fix=_leg_rho_fix().astype(dtype),
         rho_opt=jnp.zeros((NUM_LEG, 3), dtype=dtype),
+        mu_ground=f(0.8),
     )
 
 

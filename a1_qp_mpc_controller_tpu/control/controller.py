@@ -96,6 +96,59 @@ def control_tick_finish(cfg: A1Config, params: RobotParams, cs: CtrlState,
     return cs, mem, cs.joint_torques
 
 
+# --- sensor-rate estimation split (hardware schedule) ---------------------
+# The reference's hardware stack runs the EKF inside the 500 Hz UDP
+# receive thread (HardwareA1ROS.cpp:336-341, HARDWARE_FEEDBACK_FREQUENCY
+# = 2 ms, A1Params.h:12) while control runs at 400 Hz. These two pieces
+# reproduce that dual-rate schedule: `estimate_step` at the sensor rate,
+# `control_tick_noest` at the control rate consuming the latest estimate.
+
+def estimate_step(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                  mem: CtrlMem, sensors: SensorData, dt: jnp.ndarray
+                  ) -> Tuple[CtrlState, CtrlMem]:
+    """Sensor-rate work (the reference's receive thread): ingest + EKF.
+    ``dt`` is the SENSOR period (2 ms on hardware), not the control
+    period. Touches only estimation-owned memory (IMU filters + EKF);
+    merge with control-owned memory via :func:`merge_estimate_mem`."""
+    cs, mem = ingest_sensors(cfg, params, cs, mem, sensors)
+    if cfg.use_estimator:
+        ekf, cs = estimator.step(cfg, params, cs, mem.ekf, dt)
+        mem = mem.replace(ekf=ekf)
+    else:
+        cs = cs.replace(root_pos=sensors.root_pos,
+                        root_lin_vel=sensors.root_lin_vel)
+    return cs, mem
+
+
+def merge_estimate_mem(est_mem: CtrlMem, ctrl_mem: CtrlMem) -> CtrlMem:
+    """Combine the estimation thread's memory fields (EKF carry + IMU
+    ingest filters) with the control thread's (warm starts, gait/terrain
+    filters, tick counter) — the race-free functional replacement for the
+    reference's shared-blackboard writes from two threads."""
+    return ctrl_mem.replace(ekf=est_mem.ekf,
+                            imu_acc_filter=est_mem.imu_acc_filter,
+                            imu_gyro_filter=est_mem.imu_gyro_filter)
+
+
+def control_tick_noest(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                       mem: CtrlMem, joy: JoyCmd, dt: jnp.ndarray
+                       ) -> Tuple[CtrlState, CtrlMem, jnp.ndarray]:
+    """Control-rate work when estimation runs at the sensor rate: FSM,
+    plan, swing, GRF solve, torques — consuming the freshest
+    ingested+estimated ``cs`` (no re-ingest, no EKF)."""
+    cs = fsm.joystick_update(cfg, params, cs, joy, dt)
+    cs = gait.update_plan(cfg, params, cs, dt)
+    cs, mem = swing.generate_swing_legs_ctrl(cfg, params, cs, mem, dt)
+    cs, mem = grf.compute_grf(cfg, params, cs, mem, dt)
+    cs, mem = torque.compute_joint_torques(cfg, params, cs, mem)
+    return cs, mem, cs.joint_torques
+
+
+estimate_step_jit = partial(jax.jit, static_argnames=("cfg",))(estimate_step)
+control_tick_noest_jit = partial(jax.jit,
+                                 static_argnames=("cfg",))(control_tick_noest)
+
+
 # --- dual-rate decomposition (mirrors the reference's thread split) -------
 
 def main_step(cfg: A1Config, params: RobotParams, cs: CtrlState,

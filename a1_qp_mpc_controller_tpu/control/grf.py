@@ -26,9 +26,20 @@ from a1_qp_mpc_controller_tpu.utils import mathx
 from a1_qp_mpc_controller_tpu.utils.filters import filter_update_masked
 
 # initial ADMM stepsize for the MPC problem family (after Ruiz scaling);
-# adapted per-solve / carried across ticks thereafter
-_MPC_RHO0 = 1e-4
+# adapted per-solve / carried across ticks thereafter. 1e-3 is tuned for
+# the swing-eliminated problem family (kappa ~ 1e3; see mpc_problem) —
+# measured to converge every captured contact-flip instance in <= 50
+# fixed iterations, where the pinned family stalled at ~100 N.
+_MPC_RHO0 = 3e-3
 _QP_RHO0 = 0.1
+
+
+def scaling_for_contacts(table, contacts: jnp.ndarray):
+    """Select the precomputed equilibration matching a contact pattern
+    from the 16-entry table (srb.reference_mpc_scaling_table)."""
+    idx = jnp.sum(contacts.astype(jnp.int32)
+                  * jnp.array([8, 4, 2, 1], jnp.int32))
+    return jax.tree_util.tree_map(lambda t: t[idx], table)
 
 
 def compute_walking_surface(cs: CtrlState) -> jnp.ndarray:
@@ -155,12 +166,15 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
     else:
         # --- convex MPC path (A1RobotControl.cpp:446-561)
         prob = mpc_problem(cfg, params, cs, mem, dt)
+        scal = qpx.rescale_cost(
+            prob.p_mat, prob.q_vec,
+            scaling_for_contacts(mem.mpc_scaling_table, cs.contacts))
         if cfg.mpc_solver_mode == "fixed":
             sol = qpx.admm_solve_fixed(
                 prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
                 cfg.mpc_qp_iters, qpx.QPSettings(rho=_MPC_RHO0),
                 x0=prob.warm_x, y0=prob.warm_y, rho0=prob.rho0,
-                scaling=mem.mpc_scaling)
+                scaling=scal)
         else:
             sol = qpx.admm_solve(
                 prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
@@ -168,7 +182,7 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                                max_iter=cfg.mpc_qp_iters,
                                check_every=cfg.qp_check_every),
                 x0=prob.warm_x, y0=prob.warm_y, rho0=prob.rho0,
-                scaling=mem.mpc_scaling)
+                scaling=scal)
         return mpc_apply_solution(cfg, cs, mem, sol)
 
     # world -> body frame + per-leg NaN guard
@@ -245,6 +259,12 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
                                             dtype) if with_a_mat else None)
     lb, ub = srb.mpc_bounds(cs.contacts, params.fz_min, params.fz_max,
                             cfg.horizon, dtype)
+    # swing-leg variable elimination: same optimum, no equality rows,
+    # kappa ~5e4 -> ~1e3 (see srb.eliminate_swing for the full story)
+    p_mat, q_vec, lb, ub = srb.eliminate_swing(p_mat, q_vec, lb, ub,
+                                               cs.contacts, cfg.horizon)
+    s_var = jnp.tile(jnp.repeat(cs.contacts, 3), cfg.horizon)    # (120,)
+    s_row = jnp.tile(jnp.repeat(cs.contacts, 5), cfg.horizon)    # (200,)
 
     # warm start with cross-tick rho carry — the deterministic equivalent
     # of the reference's persistent warm-started OSQP instance
@@ -255,18 +275,31 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
                        jnp.zeros_like(mem.mpc_warm_y))
     rho0 = jnp.where(mem.mpc_warm_started, mem.mpc_rho,
                      jnp.asarray(_MPC_RHO0, dtype))
-    # a contact flip rewrites a leg's constraint rows (swing-leg force
-    # pins become equalities or vice versa): that leg's stale duals —
-    # and the carried rho — start the solve far from the new optimum.
-    # Zero the flipped legs' dual rows (unchanged legs keep theirs) and
-    # re-seed rho. The flipped legs' primal entries are also zeroed:
-    # a leg entering swing must go to zero force anyway, and a leg
-    # entering stance is better started at 0 than at stale values.
+    # flipped legs' carried primal/duals refer to the other contact
+    # configuration — zero them (unchanged legs keep theirs), mask the
+    # warm start onto the current stance support, and re-seed the
+    # stepsize: the carried rho is tuned for the previous active set
+    # and was measured to stall the flip-tick solve when kept. With the
+    # swing elimination above this is enough — no physics rescaling of
+    # the surviving legs was measurably better (exp, round 3).
     leg_flip = cs.contacts != mem.mpc_prev_contacts      # (4,)
-    row_flip = jnp.tile(jnp.repeat(leg_flip, 5), cfg.horizon)  # (200,)
-    var_flip = jnp.tile(jnp.repeat(leg_flip, 3), cfg.horizon)  # (120,)
-    warm_y = jnp.where(row_flip, 0.0, warm_y)
-    warm_x = jnp.where(var_flip, 0.0, warm_x)
+    var_keep = jnp.tile(jnp.repeat(~leg_flip, 3), cfg.horizon)
+    row_keep = jnp.tile(jnp.repeat(~leg_flip, 5), cfg.horizon)
+    wx = warm_x.reshape(cfg.horizon, NUM_LEG, 3)
+    fz_before = jnp.sum(wx[:, :, 2] * mem.mpc_prev_contacts[None, :],
+                        axis=1)                          # (H,)
+    warm_x = jnp.where(var_keep & s_var, warm_x, 0.0)
+    warm_y = jnp.where(row_keep & s_row, warm_y, 0.0)
+    # preserve total vertical support per horizon step: when a stance
+    # pair lifts off, the surviving legs must carry DOUBLE the load —
+    # starting them at the old half-load leaves a large primal gap the
+    # fixed budget cannot close (17 N at a captured exit flip, < 3 N
+    # with the rescale)
+    wx2 = warm_x.reshape(cfg.horizon, NUM_LEG, 3)
+    fz_after = jnp.sum(wx2[:, :, 2], axis=1)
+    scale = jnp.clip(fz_before / jnp.maximum(fz_after, 1.0), 1.0, 4.0)
+    scale = jnp.where(jnp.any(leg_flip), scale, 1.0)
+    warm_x = (wx2 * scale[:, None, None]).reshape(-1)
     rho0 = jnp.where(jnp.any(leg_flip),
                      jnp.asarray(_MPC_RHO0, dtype), rho0)
     return MpcProblem(p_mat=p_mat, q_vec=q_vec, a_mat=a_mat, lb=lb, ub=ub,
@@ -277,8 +310,15 @@ def mpc_apply_solution(cfg: A1Config, cs: CtrlState, mem: CtrlMem,
                        sol) -> Tuple[CtrlState, CtrlMem]:
     """Store warm-start state and map the solved world-frame forces into
     body frame with the per-leg NaN guard (A1RobotControl.cpp:555-561)."""
+    # carry the post-solve rho estimate into the next tick, CLAMPED to
+    # the healthy band of the cost-normalized family: after a tightly
+    # converged solve the residual ratio in the estimate is pure noise,
+    # and the unconditional carry was measured to random-walk rho down
+    # to ~1e-6 — the next disturbed tick then cannot restore primal
+    # feasibility within a fixed budget (rp ~ 4 N with rd ~ 1e-6)
+    rho_carry = jnp.clip(sol.rho, 0.1 * _MPC_RHO0, 100.0 * _MPC_RHO0)
     mem = mem.replace(mpc_warm_x=sol.x, mpc_warm_y=sol.y,
-                      mpc_rho=sol.rho,
+                      mpc_rho=rho_carry,
                       mpc_warm_started=jnp.asarray(True),
                       mpc_prev_contacts=cs.contacts)
     forces_world = sol.x[:12].reshape(NUM_LEG, 3)

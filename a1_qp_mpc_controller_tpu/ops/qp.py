@@ -117,6 +117,24 @@ def compute_scaling(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
     return Scaling(d=sp.d, e=sp.e, c=sp.c)
 
 
+def rescale_cost(P: jnp.ndarray, q: jnp.ndarray, s: Scaling) -> Scaling:
+    """Recompute the cost normalization ``c`` for THIS instance, keeping
+    the precomputed ``d``/``e`` (one O(n^2) pass — Ruiz's final-iteration
+    gamma evaluated at the accumulated variable scaling).
+
+    The d/e geometry of the MPC family is stable along a trajectory
+    (measured ratio <= 2.6x on a handful of entries), but the cost scale
+    is NOT: q grows with tracking error, and a reference-instance c was
+    measured 6x too large at a walk-start tick — equivalent to running
+    the ADMM at a 6x-wrong stepsize, which stalls a fixed-budget solve
+    (30-50 N force transients; < 1 N with the per-instance c)."""
+    pd = s.d[:, None] * P * s.d[None, :]
+    col_p = jnp.mean(jnp.max(jnp.abs(pd), axis=0))
+    norm_q = jnp.max(jnp.abs(s.d * q))
+    c = 1.0 / _limit(jnp.maximum(col_p, norm_q))
+    return s.replace(c=c)
+
+
 def apply_scaling(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
                   l: jnp.ndarray, u: jnp.ndarray,
                   s: Scaling) -> ScaledProblem:

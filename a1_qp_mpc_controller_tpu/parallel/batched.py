@@ -59,7 +59,7 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     from a1_qp_mpc_controller_tpu.models import srb
     from a1_qp_mpc_controller_tpu.ops import qp as qpx
     from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
-        batched_inverse, batched_inverse_sweep_T_chunked,
+        batched_inverse, batched_inverse_sweep_T_masked,
         batched_inverse_T, spd_block_inverse,
     )
 
@@ -71,6 +71,12 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         lambda p, c, m, s: control_tick_build(cfg, p, c, m, s, joy, dt,
                                               with_a_mat=with_a)
     )(params_b, cs_b, mem_b, sensors_b)
+    # per-scenario equilibration: contact-pattern-matched d/e (a gather
+    # from the 16-entry table) + per-instance cost normalization
+    scal = jax.vmap(
+        lambda t, c, p, q: qpx.rescale_cost(
+            p, q, grf.scaling_for_contacts(t, c))
+    )(mem.mpc_scaling_table, cs.contacts, prob.p_mat, prob.q_vec)
 
     if admm_backend == "pallas_shared":
         # fully shared-structure route: per-scenario constraint matrices
@@ -84,17 +90,18 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         base_blk, slope_blk = srb.friction_basis_blocks(prob.p_mat.dtype)
         m_b = qpx.scaled_kkt_matrix_blockdiag(
             prob.p_mat, base_blk, slope_blk, mu, prob.lb, prob.ub,
-            settings, prob.rho0, mem.mpc_scaling)
+            settings, prob.rho0, scal)
         if kkt_backend == "schur":
             minv = spd_block_inverse(m_b, base=32, block=max(kkt_block, 64),
                                      interpret=interpret)
         elif kkt_backend == "sweep_t":
             # the lane-dim block must be a multiple of 128 on hardware
             # (small-batch interpret tests may use the batch size); the
-            # row-chunked kernel is the one this Mosaic build compiles
+            # masked row-carry kernel is the variant with no dynamic
+            # ref indexing, which this Mosaic build rejects outright
             sblk = 128 if not interpret else min(128, m_b.shape[0])
-            minv = batched_inverse_sweep_T_chunked(m_b, sblock=sblk,
-                                                   interpret=interpret)
+            minv = batched_inverse_sweep_T_masked(m_b, sblock=sblk,
+                                                  interpret=interpret)
         elif kkt_backend == "gj_t":
             sblk = 128 if not interpret else min(64, m_b.shape[0])
             minv = batched_inverse_T(m_b, sblock=sblk,
@@ -105,7 +112,7 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         sol = qpx.admm_solve_fixed_batched_shared(
             prob.p_mat, prob.q_vec, a0, a1, mu, prob.lb, prob.ub,
             cfg.mpc_qp_iters, settings, prob.warm_x, prob.warm_y,
-            prob.rho0, mem.mpc_scaling, minv, block=admm_block,
+            prob.rho0, scal, minv, block=admm_block,
             interpret=interpret)
         out = jax.vmap(
             lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)
@@ -118,7 +125,7 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
 
     m_b = jax.vmap(lambda pr, sc: qpx.scaled_kkt_matrix(
         pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, settings, pr.rho0, sc)
-    )(prob, mem.mpc_scaling)
+    )(prob, scal)
     if use_pallas:
         minv = batched_inverse(m_b, block=kkt_block, interpret=interpret)
     else:
@@ -129,13 +136,13 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         sol = qpx.admm_solve_fixed_batched(
             prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
             cfg.mpc_qp_iters, settings, prob.warm_x, prob.warm_y,
-            prob.rho0, mem.mpc_scaling, minv, block=admm_block,
+            prob.rho0, scal, minv, block=admm_block,
             interpret=interpret)
     else:
         sol = jax.vmap(lambda pr, sc, mi: qpx.admm_solve_fixed(
             pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, cfg.mpc_qp_iters,
             settings, x0=pr.warm_x, y0=pr.warm_y, rho0=pr.rho0, scaling=sc,
-            kkt_inv=mi))(prob, mem.mpc_scaling, minv)
+            kkt_inv=mi))(prob, scal, minv)
 
     return jax.vmap(
         lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)

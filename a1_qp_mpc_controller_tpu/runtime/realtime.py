@@ -57,14 +57,78 @@ def unpack_sensors(frame: np.ndarray) -> SensorData:
     )
 
 
+def run_dual_rate_sim(cfg: A1Config, params: RobotParams,
+                      terrain: terrain_mod.Terrain, seconds: float,
+                      joy: JoyCmd, sensor_dt: float = 0.002,
+                      walk_after_s: float = 0.5) -> dict:
+    """Deterministic (non-threaded) simulation of the hardware dual-rate
+    schedule: estimation at the sensor rate (500 Hz — the reference runs
+    the EKF inside the UDP receive thread, HardwareA1ROS.cpp:336-341),
+    control at 400 Hz consuming the latest estimate. Events are ordered
+    on a merged timeline with the sensor thread winning ties, exactly
+    like the receive thread running ahead of the control thread. Used by
+    tests to prove the two-rate schedule is stable."""
+    from a1_qp_mpc_controller_tpu.control.controller import (
+        control_tick_noest_jit, estimate_step_jit, merge_estimate_mem,
+    )
+
+    carry = cl.make_standing_start(cfg, params, terrain)
+    cs, mem, ps = carry.cs, carry.mem, carry.ps
+    prev_vel = carry.prev_root_lin_vel
+    ctrl_dt = float(cfg.control_dt)
+    s_dt = jnp.float32(sensor_dt)
+    c_dt = jnp.float32(ctrl_dt)
+    torques = cs.joint_torques
+    n_est = int(round(seconds / sensor_dt))
+    n_ctrl = int(round(seconds / ctrl_dt))
+    events = sorted(
+        [(i * sensor_dt, 0, i) for i in range(1, n_est + 1)]
+        + [(i * ctrl_dt, 1, i) for i in range(1, n_ctrl + 1)])
+    joy_stand = JoyCmd.zeros()
+    n_ctrl_done = 0
+    est_count = 0
+    for t_ev, kind, _idx in events:
+        if kind == 0:
+            # sensor thread: plant advances at the sensor rate with the
+            # latest torques; ingest + EKF on the fresh frame
+            sensors = plant_mod.read_sensors(params, ps, prev_vel, s_dt)
+            prev_vel = ps.root_lin_vel
+            ps = plant_mod.plant_step(params, terrain, ps, torques, s_dt)
+            cs, mem = estimate_step_jit(cfg, params, cs, mem, sensors,
+                                        s_dt)
+            est_count += 1
+        else:
+            j = joy if t_ev >= walk_after_s else joy_stand
+            cs, mem, torques = control_tick_noest_jit(cfg, params, cs,
+                                                      mem, j, c_dt)
+            n_ctrl_done += 1
+    root = np.asarray(ps.root_pos)
+    return {
+        "est_steps": est_count,
+        "ctrl_steps": n_ctrl_done,
+        "final_x_m": float(root[0]),
+        "final_z_m": float(root[2]),
+        "nan": bool(np.isnan(root).any()
+                    or np.isnan(np.asarray(torques)).any()),
+    }
+
+
 class RealtimeRunner:
     """Runs the controller at a fixed wall-clock rate against a sensor ring,
     with an in-process plant producer (swap the producer for a robot I/O
-    shim on real hardware)."""
+    shim on real hardware).
+
+    ``estimation_rate_hz``: when set (hardware parity: 500.0), the EKF
+    runs inside the sensor-rate loop on every frame — the reference runs
+    estimation in its 500 Hz UDP receive thread
+    (HardwareA1ROS.cpp:336-341) — and the 400 Hz control tick consumes
+    the latest estimate without re-ingesting. When None (sim parity),
+    estimation runs inside the control tick as Gazebo/Isaac do."""
 
     def __init__(self, profile: str = "gazebo_mpc",
                  mpc_iters: int = 50, solver_mode: str = "fixed",
-                 terrain: Optional[terrain_mod.Terrain] = None):
+                 terrain: Optional[terrain_mod.Terrain] = None,
+                 estimation_rate_hz: Optional[float] = None):
         cfg, params = load_profile(profile)
         self.cfg: A1Config = dataclasses.replace(
             cfg, mpc_qp_iters=mpc_iters, mpc_solver_mode=solver_mode)
@@ -78,6 +142,9 @@ class RealtimeRunner:
         self.joy = JoyCmd.zeros()
         self.ring = SensorRing(SENSOR_FRAME_LEN)
 
+        self.est_rate = estimation_rate_hz
+        self.sensor_dt = (1.0 / estimation_rate_hz
+                          if estimation_rate_hz else 0.002)
         cfg_ = self.cfg
 
         @jax.jit
@@ -95,6 +162,26 @@ class RealtimeRunner:
         ps_warm = plant_mod.plant_step(self.params, self.terrain, self.ps,
                                        out[2], self.dt)
         ps_warm.root_pos.block_until_ready()
+        if self.est_rate:
+            from a1_qp_mpc_controller_tpu.control.controller import (
+                control_tick_noest, estimate_step,
+            )
+
+            @jax.jit
+            def _est(params, cs, mem, sensors, dt):
+                return estimate_step(cfg_, params, cs, mem, sensors, dt)
+
+            @jax.jit
+            def _tick_ne(params, cs, mem, joy, dt):
+                return control_tick_noest(cfg_, params, cs, mem, joy, dt)
+
+            self._est = _est
+            self._tick_ne = _tick_ne
+            e0 = _est(self.params, self.cs, self.mem, s0,
+                      jnp.float32(self.sensor_dt))
+            o0 = _tick_ne(self.params, e0[0], e0[1], self.joy, self.dt)
+            o0[2].block_until_ready()
+        self.torques = jnp.zeros((12,), jnp.float32)
         self._latencies_ms: list = []
 
     # sensor producer: advance the plant with the latest torques and push
@@ -102,6 +189,31 @@ class RealtimeRunner:
         s = plant_mod.read_sensors(self.params, self.ps, self.prev_vel,
                                    self.dt)
         self.ring.push(pack_sensors(s))
+
+    def _produce_estimate(self, _tick_idx: int) -> None:
+        """Sensor-rate thread in hardware-parity mode: push the frame AND
+        run ingest+EKF on it (the reference's receive thread does both,
+        HardwareA1ROS.cpp:245-378). Publishes (cs, mem) by atomic
+        reference swap — the functional analog of the blackboard write."""
+        s = plant_mod.read_sensors(self.params, self.ps, self.prev_vel,
+                                   jnp.float32(self.sensor_dt))
+        self.ring.push(pack_sensors(s))
+        frame = self.ring.pop_latest()
+        if frame is None:
+            return
+        cs, mem = self._est(self.params, self.cs, self.mem,
+                            unpack_sensors(frame),
+                            jnp.float32(self.sensor_dt))
+        # publish only estimation-owned memory (EKF + IMU filters),
+        # re-merged against the control thread's CURRENT memory so a
+        # concurrent warm-start write is never lost; the cs swap can
+        # leave planning fields one sensor period stale, which is the
+        # benign analog of the reference's blackboard races
+        from a1_qp_mpc_controller_tpu.control.controller import (
+            merge_estimate_mem,
+        )
+        self.mem = merge_estimate_mem(mem, self.mem)
+        self.cs = cs
 
     def _consume(self, _tick_idx: int) -> None:
         frame = self.ring.pop_latest()
@@ -118,12 +230,32 @@ class RealtimeRunner:
         self.ps = plant_mod.plant_step(self.params, self.terrain, self.ps,
                                        torques, self.dt)
 
+    def _consume_noest(self, _tick_idx: int) -> None:
+        """Control-rate thread in hardware-parity mode: consume the
+        latest estimate snapshot, no re-ingest."""
+        t0 = time.perf_counter()
+        cs, mem, torques = self._tick_ne(self.params, self.cs, self.mem,
+                                         self.joy, self.dt)
+        torques.block_until_ready()
+        self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
+        self.cs, self.mem, self.torques = cs, mem, torques
+        self.prev_vel = self.ps.root_lin_vel
+        self.ps = plant_mod.plant_step(self.params, self.terrain, self.ps,
+                                       torques, self.dt)
+
     def run(self, seconds: float, joy: Optional[JoyCmd] = None) -> dict:
         if joy is not None:
             self.joy = joy
-        sensor_loop = RtLoop(0.002, self._produce, compensate=False)
-        ctrl_loop = RtLoop(float(self.cfg.control_dt), self._consume,
-                           compensate=True)
+        if self.est_rate:
+            sensor_loop = RtLoop(self.sensor_dt, self._produce_estimate,
+                                 compensate=False)
+            ctrl_loop = RtLoop(float(self.cfg.control_dt),
+                               self._consume_noest, compensate=True)
+        else:
+            sensor_loop = RtLoop(self.sensor_dt, self._produce,
+                                 compensate=False)
+            ctrl_loop = RtLoop(float(self.cfg.control_dt), self._consume,
+                               compensate=True)
         sensor_loop.start()
         ctrl_loop.start()
         time.sleep(seconds)

@@ -39,6 +39,12 @@ class Trace(struct.PyTreeNode):
     contacts: jnp.ndarray          # (T,4)
     foot_force_sensor: jnp.ndarray  # (T,4)
     root_lin_vel: jnp.ndarray      # (T,3) true body velocity
+    # per-foot swing tracking (the reference publishes swing start/end/
+    # path markers + foot-pose error topics, A1RobotControl.cpp:65-144,
+    # A1RobotControl.h:83-96) — yaw-aligned body frame
+    swing_target: jnp.ndarray      # (T,4,3) Bezier target this tick
+    swing_actual: jnp.ndarray      # (T,4,3) actual foot position
+    swing_err: jnp.ndarray         # (T,4) per-foot |target - actual|
 
 
 def make_standing_start(cfg: A1Config, params: RobotParams,
@@ -85,6 +91,10 @@ def rollout(cfg: A1Config, params: RobotParams,
             contacts=cs.contacts,
             foot_force_sensor=ps.foot_force_n,
             root_lin_vel=ps.root_lin_vel,
+            swing_target=cs.foot_pos_target_last_time,
+            swing_actual=cs.foot_pos_cur,
+            swing_err=jnp.linalg.norm(
+                cs.foot_pos_target_last_time - cs.foot_pos_cur, axis=-1),
         )
         return LoopCarry(cs=cs, mem=mem, ps=ps,
                          prev_root_lin_vel=prev_vel), trace

@@ -130,23 +130,60 @@ def _substep(params: RobotParams, terrain: terrain_mod.Terrain,
         ps.foot_vel[:, 2] <= 0.0)
     in_contact = (ps.in_contact & ~release) | touchdown
 
+    # --- finite-friction stick/slip (Coulomb cone on the pin)
+    # the ground can supply at most mu_ground * N tangentially; a contact
+    # foot whose leg pushes outside that cone SLIDES: z stays pinned on
+    # the surface, xy integrates under (applied tangential force +
+    # kinetic friction opposing slip). The reference validated against
+    # Gazebo's friction-capable ODE contacts (README.md:154-187); the
+    # nominal mu_ground = 0.8 exceeds every controller cone so
+    # cone-respecting forces never slip.
+    n_pos = jnp.maximum(n_pinned, 0.0)                    # (4,)
+    cap = params.mu_ground * n_pos
+    f_t = leg_force_world[:, :2]                          # applied tangential
+    ft_mag = jnp.linalg.norm(f_t, axis=1)
+    slipping = in_contact & (ft_mag > cap + 1e-6)
+    v_t = ps.foot_vel[:, :2]
+    v_mag = jnp.linalg.norm(v_t, axis=1, keepdims=True)
+    # kinetic friction opposes slip; at incipient slip (v ~ 0) it opposes
+    # the applied tangential force
+    slip_dir = jnp.where(v_mag > 1e-4, v_t / jnp.maximum(v_mag, 1e-9),
+                         f_t / jnp.maximum(ft_mag, 1e-9)[:, None])
+    fric = -cap[:, None] * slip_dir
+    slip_vel = v_t + dt * (f_t + fric) / FOOT_MASS
+    slip_pos = ps.foot_pos[:, :2] + dt * slip_vel
+
     # --- foot states
-    # pinned: frozen at the surface; swing: virtual point mass
+    # pinned-static: frozen at the surface; slipping: xy slides on the
+    # surface; swing: virtual point mass
     foot_acc = GRAV[None, :] + leg_force_world / FOOT_MASS
     free_vel = ps.foot_vel + dt * foot_acc
     free_pos = ps.foot_pos + dt * free_vel
     pin_pos = ps.foot_pos.at[:, 2].set(jnp.where(touchdown, gz,
                                                  ps.foot_pos[:, 2]))
+    pin_pos = jnp.where(slipping[:, None],
+                        jnp.concatenate([slip_pos, pin_pos[:, 2:]], axis=1),
+                        pin_pos)
+    pin_vel = jnp.where(slipping[:, None],
+                        jnp.concatenate(
+                            [slip_vel, jnp.zeros_like(slip_vel[:, :1])],
+                            axis=1),
+                        jnp.zeros((NUM_LEG, 3), ps.foot_vel.dtype))
     foot_pos = jnp.where(in_contact[:, None], pin_pos, free_pos)
-    foot_vel = jnp.where(in_contact[:, None], 0.0, free_vel)
-    fn = jnp.where(in_contact, jnp.maximum(n_pinned, 0.0), 0.0)
+    foot_vel = jnp.where(in_contact[:, None], pin_vel, free_vel)
+    fn = jnp.where(in_contact, n_pos, 0.0)
 
-    # --- trunk dynamics: reaction of pinned legs only
+    # --- trunk dynamics: reaction of contact legs; the tangential
+    # reaction a slipping foot transmits is CAPPED at mu*N (the ground
+    # cannot push back harder) — this is what makes a cone-violating
+    # controller lose traction instead of silently succeeding
+    react_t = jnp.where(slipping[:, None], -cap[:, None] * slip_dir, -f_t)
+    reaction = jnp.concatenate([react_t, -leg_force_world[:, 2:]], axis=1)
     transmit = in_contact[:, None]
-    body_force = jnp.sum(jnp.where(transmit, -leg_force_world, 0.0), axis=0)
+    body_force = jnp.sum(jnp.where(transmit, reaction, 0.0), axis=0)
     r = ps.foot_pos - ps.root_pos[None, :]
     body_torque = jnp.sum(
-        jnp.where(transmit, jnp.cross(r, -leg_force_world), 0.0), axis=0)
+        jnp.where(transmit, jnp.cross(r, reaction), 0.0), axis=0)
 
     rot = mathx.quat_to_rot(ps.root_quat)
     inertia_w = rot @ (params.trunk_inertia + LEG_INERTIA) @ rot.T

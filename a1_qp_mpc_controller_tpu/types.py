@@ -11,6 +11,7 @@ All per-foot arrays are ``(4, 3)`` = (leg, xyz), leg order FL, FR, RL, RR.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -239,7 +240,10 @@ class CtrlMem(struct.PyTreeNode):
     mpc_warm_started: jnp.ndarray               # () bool
     mpc_prev_contacts: jnp.ndarray              # (4,) bool: contact pattern
     #   of the previous solve — a flip invalidates the dual warm start
-    mpc_scaling: "object"                       # ops.qp.Scaling (precomputed)
+    mpc_scaling_table: "object"                 # ops.qp.Scaling with a
+    #   leading (16,) per-contact-pattern axis (srb.
+    #   reference_mpc_scaling_table); select with
+    #   grf.scaling_for_contacts(table, contacts)
     tick: jnp.ndarray                           # () int32 (mpc_init_counter)
     ekf: EKFState
 
@@ -251,13 +255,16 @@ class CtrlMem(struct.PyTreeNode):
         nc = 5 * NUM_LEG * cfg.horizon
         if params is not None and cfg.stance_leg_control_type == 1:
             from a1_qp_mpc_controller_tpu.models.srb import (
-                reference_mpc_scaling,
+                reference_mpc_scaling_table,
             )
-            scaling = reference_mpc_scaling(params, cfg.horizon, dtype)
+            scaling = reference_mpc_scaling_table(params, cfg.horizon,
+                                                  dtype)
         else:
-            scaling = Scaling.identity(nv, nc, dtype)
+            scaling = jax.tree_util.tree_map(
+                lambda t: jnp.broadcast_to(t, (16,) + t.shape),
+                Scaling.identity(nv, nc, dtype))
         return cls(
-            mpc_scaling=scaling,
+            mpc_scaling_table=scaling,
             terrain_angle_filter=make_filter((), TERRAIN_FILTER_WINDOW, dtype),
             recent_contact_filter=make_filter_bank(
                 NUM_LEG, (3,), RECENT_CONTACT_FILTER_WINDOW, dtype),

@@ -91,15 +91,17 @@ def main():
     build = jax.jit(jax.vmap(
         lambda p, c, m, s: control_tick_build(cfg, p, c, m, s, joy, dt)))
     cs2, mem2, prob = build(pb, cs, mem, sensors)
+    scal2 = jax.jit(jax.vmap(grf.scaling_for_contacts))(
+        mem2.mpc_scaling_table, cs2.contacts)
     jax.block_until_ready(prob.p_mat)
     timeit(build, pb, cs, mem, sensors, name="build (ingest..cost+bounds)")
 
     # 3. scaled KKT assembly
     kkt = jax.jit(jax.vmap(lambda pr, sc: qpx.scaled_kkt_matrix(
         pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, settings, pr.rho0, sc)))
-    m_b = kkt(prob, mem2.mpc_scaling)
+    m_b = kkt(prob, scal2)
     jax.block_until_ready(m_b)
-    timeit(kkt, prob, mem2.mpc_scaling, name="scaled KKT assembly")
+    timeit(kkt, prob, scal2, name="scaled KKT assembly")
 
     # 4. batched inverse: LU vs Pallas GJ
     lu = jax.jit(lambda m: jnp.linalg.inv(m))
@@ -127,7 +129,7 @@ def main():
     solve = jax.jit(jax.vmap(lambda pr, sc, mi: qpx.admm_solve_fixed(
         pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, args.iters, settings,
         x0=pr.warm_x, y0=pr.warm_y, rho0=pr.rho0, scaling=sc, kkt_inv=mi)))
-    timeit(solve, prob, mem2.mpc_scaling, minv,
+    timeit(solve, prob, scal2, minv,
            name=f"ADMM {args.iters} iters (inv given)")
 
     # 6. fused-ADMM Pallas kernel (generic; superseded by shared)
@@ -138,7 +140,7 @@ def main():
                                  pr.p_mat, pr.q_vec, pr.a_mat, pr.lb,
                                  pr.ub, args.iters, settings, pr.warm_x,
                                  pr.warm_y, pr.rho0, sc, mi, block=blk))
-            timeit(fsolve, prob, mem2.mpc_scaling, minv,
+            timeit(fsolve, prob, scal2, minv,
                    name=f"fused-ADMM Pallas (blk={blk})")
         except Exception as e:  # noqa: BLE001
             print(f"  fused-ADMM blk={blk} failed: {type(e).__name__}: {e}")
@@ -148,9 +150,9 @@ def main():
     a0, a1 = srb.friction_constraint_basis(cfg.horizon)
     kkt_sh = jax.jit(lambda pr, mu, sc: qpx.scaled_kkt_matrix_shared(
         pr.p_mat, a0, a1, mu, pr.lb, pr.ub, settings, pr.rho0, sc))
-    m_sh = kkt_sh(prob, pb.mu_mpc, mem2.mpc_scaling)
+    m_sh = kkt_sh(prob, pb.mu_mpc, scal2)
     jax.block_until_ready(m_sh)
-    timeit(kkt_sh, prob, pb.mu_mpc, mem2.mpc_scaling,
+    timeit(kkt_sh, prob, pb.mu_mpc, scal2,
            name="scaled KKT assembly (shared GEMM)")
     for blk in (16, 32, 64):
         try:
@@ -159,7 +161,7 @@ def main():
                              pr.p_mat, pr.q_vec, a0, a1, mu, pr.lb, pr.ub,
                              args.iters, settings, pr.warm_x, pr.warm_y,
                              pr.rho0, sc, mi, block=blk))
-            timeit(fs, prob, pb.mu_mpc, mem2.mpc_scaling, minv,
+            timeit(fs, prob, pb.mu_mpc, scal2, minv,
                    name=f"fused-ADMM shared (blk={blk})")
         except Exception as e:  # noqa: BLE001
             print(f"  fused-ADMM shared blk={blk} failed: "

@@ -52,7 +52,7 @@ def main():
     from a1_qp_mpc_controller_tpu.models import srb
     from a1_qp_mpc_controller_tpu.ops import qp as qpx
     from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
-        batched_inverse, spd_block_inverse,
+        batched_inverse,
     )
 
     b = args.batch

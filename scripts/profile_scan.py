@@ -113,13 +113,15 @@ def main():
         pb, cs, mem, sensors)
     a0, a1 = srb.friction_constraint_basis(cfg.horizon)
     mu = pb.mu_mpc
+    scal2 = jax.jit(jax.vmap(grf.scaling_for_contacts))(
+        mem2.mpc_scaling_table, cs2.contacts)
 
     # KKT assembly (shared GEMM), dependency via rho0 no-op shift
     def kkt_step(m_prev):
         rho0 = prob.rho0 + 0.0 * m_prev[:, 0, 0]
         return qpx.scaled_kkt_matrix_shared(prob.p_mat, a0, a1, mu,
                                             prob.lb, prob.ub, settings,
-                                            rho0, mem2.mpc_scaling)
+                                            rho0, scal2)
     m_b = jax.jit(kkt_step)(jnp.zeros((b, 120, 120)))
     jax.block_until_ready(m_b)
     time_scan(kkt_step, m_b, "KKT assembly (shared GEMM)")
@@ -149,7 +151,7 @@ def main():
             prob.p_mat, prob.q_vec,
             jnp.broadcast_to(a0[None] + mu[:, None, None] * a1[None],
                              (b, 200, 120)),
-            prob.lb, prob.ub, mem2.mpc_scaling, minv, wx, wy, r)
+            prob.lb, prob.ub, scal2, minv, wx, wy, r)
         return sol.x, sol.y, sol.rho
     time_scan(admm_xla_step, (prob.warm_x, prob.warm_y, prob.rho0),
               f"ADMM {args.iters} it (XLA, inv given)")
@@ -159,7 +161,7 @@ def main():
             wx, wy, r = c
             sol = qpx.admm_solve_fixed_batched_shared(
                 prob.p_mat, prob.q_vec, a0, a1, mu, prob.lb, prob.ub,
-                args.iters, settings, wx, wy, r, mem2.mpc_scaling, minv,
+                args.iters, settings, wx, wy, r, scal2, minv,
                 block=blk)
             return sol.x, sol.y, sol.rho
         time_scan(admm_sh_step, (prob.warm_x, prob.warm_y, prob.rho0),

@@ -43,27 +43,33 @@ def main():
     print(f"batch={b} iters={args.iters} device={jax.devices()[0]}",
           flush=True)
 
+    # pb/sensors ride in the (loop-invariant) carry so the jitted scan
+    # receives them as ARGUMENTS — closing big device arrays over a jitted
+    # function embeds them as MLIR constants, which round-trips through the
+    # axon tunnel and has aborted the backend (see CLAUDE.md)
     for backend in ("gj", "sweep_t"):
         def step(carry, backend=backend):
-            cs, mem = carry
+            cs, mem, pb, sensors = carry
             cs, mem, _ = batched_control_tick(
                 cfg, pb, cs, mem, sensors, joy, dt,
                 admm_backend="pallas_shared", kkt_block=16,
                 admm_block=64, kkt_backend=backend)
-            return (cs, mem)
+            return (cs, mem, pb, sensors)
 
-        t = time_scan(step, (cs, mem), name=f"tick kkt_backend={backend}",
+        t = time_scan(step, (cs, mem, pb, sensors),
+                      name=f"tick kkt_backend={backend}",
                       printer=functools.partial(print, flush=True))
         print(f"  -> {b / t:,.0f} solves/s", flush=True)
 
         # convergence audit after 10 ticks on this backend
         @jax.jit
-        def run10(cs, mem, backend=backend):
+        def run10(cs, mem, pb, sensors, backend=backend):
             def body(c, _):
                 return step(c, backend=backend), None
-            return jax.lax.scan(body, (cs, mem), None, length=10)[0]
+            return jax.lax.scan(body, (cs, mem, pb, sensors), None,
+                                length=10)[0][:2]
 
-        cs2, mem2 = run10(cs, mem)
+        cs2, mem2 = run10(cs, mem, pb, sensors)
         _, _, _, stats = jax.jit(
             functools.partial(
                 batched_control_tick, cfg,

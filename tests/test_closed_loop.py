@@ -106,3 +106,41 @@ def test_estimator_in_the_loop_tracks_truth():
     assert err[:, 2].max() < 0.02   # height estimate within 2 cm
     # xy integrates leg odometry: allow slow drift but not divergence
     assert err[-1, :2].max() < 0.15
+
+
+def test_swing_tracking_telemetry():
+    """Per-foot swing telemetry (the reference publishes swing path +
+    foot-pose error topics, A1RobotControl.cpp:65-144): during a steady
+    trot, swing feet must track the Bezier target; a regression in swing
+    control is now visible in the trace instead of silent."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
+    from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
+
+    cfg, params = load_profile("gazebo_mpc")
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=50,
+                              mpc_solver_mode="fixed")
+    terr = terrain_mod.Terrain.flat()
+    carry = cl.make_standing_start(cfg, params, terr)
+    joy = cl.joy_schedule(800, walk_after=400, velx=0.3)
+    carry, trace = cl.rollout(cfg, params, terr, carry, joy, 800)
+    err = np.asarray(trace.swing_err)          # (T,4)
+    contacts = np.asarray(trace.contacts)      # (T,4)
+    # steady-trot window: swing feet (not in contact) track the target
+    sw = ~contacts[600:]
+    assert sw.any()
+    swing_errs = err[600:][sw]
+    # measured baseline: mean 3.3 cm, p95 5.7 cm (PD swing force lags
+    # the Bezier by a few cm, as the reference's does); thresholds are a
+    # regression tripwire just above that
+    assert float(np.percentile(swing_errs, 95)) < 0.07   # < 7 cm p95
+    assert float(swing_errs.mean()) < 0.04               # < 4 cm mean
+    # channels are consistent: err equals |target - actual|
+    d = np.linalg.norm(np.asarray(trace.swing_target)
+                       - np.asarray(trace.swing_actual), axis=-1)
+    np.testing.assert_allclose(d, err, rtol=1e-5, atol=1e-6)

@@ -152,3 +152,30 @@ def test_time_scan_measures_and_preserves_dependency():
                     name="unit", printer=calls.append)
     assert per > 0
     assert len(calls) == 1 and "unit" in calls[0]
+
+
+def test_dual_rate_estimation_schedule_stable():
+    """Hardware schedule parity: the EKF runs at the 500 Hz sensor rate
+    (the reference runs update_estimation inside the UDP receive thread,
+    HardwareA1ROS.cpp:336-341, A1Params.h:12) while control runs at
+    400 Hz consuming the latest estimate. The deterministic interleaved
+    sim must hold the trot stable: correct step counts, body height held,
+    forward progress, no NaN."""
+    import dataclasses
+
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.runtime.realtime import run_dual_rate_sim
+    from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
+    from a1_qp_mpc_controller_tpu.types import JoyCmd
+
+    cfg, params = load_profile("gazebo_mpc")
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=50, mpc_solver_mode="fixed")
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.3))
+    rep = run_dual_rate_sim(cfg, params, terrain_mod.Terrain.flat(),
+                            seconds=2.0, joy=joy, walk_after_s=1.0)
+    assert rep["est_steps"] == 1000          # 2 s at 500 Hz
+    assert rep["ctrl_steps"] == 800          # 2 s at 400 Hz
+    assert not rep["nan"]
+    assert 0.2 < rep["final_z_m"] < 0.4      # height held
+    assert rep["final_x_m"] > 0.1            # walked forward
