@@ -153,15 +153,49 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
         cs, mem = terrain_adaptation(cfg, cs, mem)
 
     if cfg.stance_leg_control_type == 0:
-        # --- stand QP path: fresh solver, no warm start
-        #     (A1RobotControl.cpp:416-431)
+        # --- stand QP path (A1RobotControl.cpp:377-431).
+        # Swing-leg variables are eliminated (same mask trick as the MPC,
+        # srb.eliminate_swing): with legs out of contact the reference's
+        # contact-gated bounds become equality pins that wreck the ADMM
+        # conditioning; elimination leaves the identical optimum with no
+        # equality rows. Row layout here: 4 Fz rows then 4x4 pyramid rows.
         p_mat, q_vec = stand_qp_matrices(params, cs)
         a_mat, lb, ub = stand_qp_constraints(params, cs)
-        sol = qpx.admm_solve(
-            p_mat, q_vec, a_mat, lb, ub,
-            qpx.QPSettings(rho=_QP_RHO0, eps_abs=1e-4, eps_rel=1e-4,
-                           max_iter=cfg.stand_qp_iters * 10,
-                           check_every=cfg.qp_check_every))
+        s_var = jnp.repeat(cs.contacts, 3)                   # (12,)
+        sf = s_var.astype(dtype)
+        p_mat = p_mat * (sf[:, None] * sf[None, :]) + jnp.diag(1.0 - sf)
+        q_vec = q_vec * sf
+        row_mask = jnp.concatenate([cs.contacts,
+                                    jnp.repeat(cs.contacts, 4)])  # (20,)
+        inf = jnp.asarray(jnp.inf, dtype)
+        lb = jnp.where(row_mask, lb, -inf)
+        ub = jnp.where(row_mask, ub, inf)
+        if cfg.mpc_solver_mode == "fixed":
+            # lock-step throughput mode: warm-started fixed budget (a
+            # cold start at this family's kappa ~1e6 needs ~400
+            # iterations; warm-started steady-state needs far fewer).
+            # The adaptive branch keeps the reference's
+            # fresh-solver-per-tick semantics.
+            flip = cs.contacts != mem.qp_prev_contacts
+            keep_v = jnp.repeat(~flip, 3) & s_var
+            keep_r = jnp.concatenate([~flip, jnp.repeat(~flip, 4)]
+                                     ) & row_mask
+            wx = jnp.where(keep_v, mem.qp_warm_x, 0.0)
+            wy = jnp.where(keep_r, mem.qp_warm_y, 0.0)
+            rho0 = jnp.where(jnp.any(flip), jnp.asarray(_QP_RHO0, dtype),
+                             mem.qp_rho)
+            sol = qpx.admm_solve_fixed(
+                p_mat, q_vec, a_mat, lb, ub, cfg.stand_qp_iters,
+                qpx.QPSettings(rho=_QP_RHO0), x0=wx, y0=wy, rho0=rho0)
+            mem = mem.replace(qp_warm_x=sol.x, qp_warm_y=sol.y,
+                              qp_prev_contacts=cs.contacts,
+                              qp_rho=jnp.clip(sol.rho, 1e-3, 1.0))
+        else:
+            sol = qpx.admm_solve(
+                p_mat, q_vec, a_mat, lb, ub,
+                qpx.QPSettings(rho=_QP_RHO0, eps_abs=1e-4, eps_rel=1e-4,
+                               max_iter=cfg.stand_qp_iters * 10,
+                               check_every=cfg.qp_check_every))
         forces_world = sol.x.reshape(NUM_LEG, 3)
     else:
         # --- convex MPC path (A1RobotControl.cpp:446-561)

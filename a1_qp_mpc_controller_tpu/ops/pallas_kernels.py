@@ -452,6 +452,87 @@ def batched_inverse_rank(m: jnp.ndarray, rank: int = 2, block: int = 8,
     return out[:b, :n, :n]
 
 
+def _chol_linv_kernel(a_ref, out_ref, *, n_steps: int):
+    """Batched panel kernel: SPD (S, p, p) -> L^{-1} (lower) where
+    A = L L'. The sequential part of the blocked-Cholesky inverse
+    (ops/linalg.spd_cholesky_inverse_hybrid): outer-product Cholesky
+    followed by forward-substitution triangular inversion, in the
+    batch-leading layout the flat GJ kernel uses (grid over the BATCH
+    dim — grids over the lane dim crash this image's Mosaic, see
+    docs/ROADMAP.md round-3 notes).
+
+    Exploits the symmetry of the trailing matrix: the pivot row and
+    column are extracted with one axis-1 and one axis-2 masked reduce
+    (no transposes). L is accumulated directly in TRANSPOSED form (lt)
+    so the substitution pass can read L's row k as an (S, p, 1) column
+    of lt with a legal axis-2 reduce."""
+    s, p, _ = a_ref.shape
+    ii = jax.lax.broadcasted_iota(jnp.int32, (s, p, p), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (s, p, p), 2)
+
+    def chol_step(k, carry):
+        a, lt = carry
+        rowk = jnp.sum(jnp.where(ii == k, a, 0.0), axis=1,
+                       keepdims=True)                    # (S,1,p)
+        akk = jnp.sum(jnp.where(jj == k, rowk, 0.0), axis=2,
+                      keepdims=True)                     # (S,1,1)
+        akk = jnp.maximum(akk, 1e-30)
+        colk = jnp.sum(jnp.where(jj == k, a, 0.0), axis=2,
+                       keepdims=True)                    # (S,p,1)
+        a = a - jnp.where((ii > k) & (jj > k), colk * rowk / akk, 0.0)
+        # row k of L' = column k of L: [0.. sqrt(akk) .. rowk/sqrt]
+        sq = jnp.sqrt(akk)
+        ltrow = jnp.where(jj > k, rowk / sq,
+                          jnp.where(jj == k, sq, 0.0))   # (S,1,p)
+        lt = jnp.where(ii == k, ltrow, lt)
+        return a, lt
+
+    a0 = a_ref[:]
+    lt0 = jnp.zeros_like(a0)
+    _, lt = jax.lax.fori_loop(0, n_steps, chol_step, (a0, lt0))
+
+    def sub_step(k, m):
+        lcol = jnp.sum(jnp.where(jj == k, lt, 0.0), axis=2,
+                       keepdims=True)                    # (S,p,1) = L row k
+        lkk = jnp.sum(jnp.where(ii == k, lcol, 0.0), axis=1,
+                      keepdims=True)                     # (S,1,1)
+        prod = jnp.sum(lcol * m, axis=1, keepdims=True)  # (S,1,p)
+        ek = jnp.where(jj == k, 1.0, 0.0)[:, 0:1, :]     # (S,1,p)
+        mrow = (ek - prod) / jnp.maximum(lkk, 1e-30)
+        return jnp.where(ii == k, mrow, m)
+
+    m0 = jnp.zeros_like(a0)
+    out_ref[:] = jax.lax.fori_loop(0, n_steps, sub_step, m0)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def batched_chol_linv(a: jnp.ndarray, block: int = 64,
+                      interpret: bool = False) -> jnp.ndarray:
+    """L^{-1} of a batch of SPD panels: (B, p, p) -> (B, p, p) lower
+    triangular, A = L L'. Pads p to a multiple of 8 with an identity
+    tail (harmless extra pivots)."""
+    b, p, _ = a.shape
+    p_pad = _round_up(p, 8)
+    b_pad = _round_up(b, block)
+    aa = jnp.zeros((b_pad, p_pad, p_pad), a.dtype)
+    aa = aa.at[:, jnp.arange(p_pad), jnp.arange(p_pad)].set(1.0)
+    aa = aa.at[:b, :p, :p].set(a)
+
+    out = pl.pallas_call(
+        functools.partial(_chol_linv_kernel, n_steps=p_pad),
+        out_shape=jax.ShapeDtypeStruct((b_pad, p_pad, p_pad), a.dtype),
+        grid=(b_pad // block,),
+        in_specs=[pl.BlockSpec((block, p_pad, p_pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, p_pad, p_pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(aa)
+    return out[:b, :p, :p]
+
+
 def _fused_admm_kernel(minv_ref, a_ref, q_ref, l_ref, u_ref, rho_ref,
                        x0_ref, y0_ref, z0_ref, xo_ref, yo_ref, zo_ref,
                        *, iters: int, sigma: float, alpha: float):

@@ -214,14 +214,19 @@ def _kkt_inverse(P: jnp.ndarray, A: jnp.ndarray, rho_vec: jnp.ndarray,
     """inv(P + sigma I + A' diag(rho) A) — the one factorization reused
     across all ADMM iterations (as OSQP does).
 
-    Uses jnp.linalg.inv (batched LU): measured 0.1 ms for 1024x(120,120)
-    on TPU v5e, ~500x faster than a cholesky + two triangular_solve
-    composition (whose TPU lowering is launch-bound), and also faster than
-    a custom Pallas Gauss-Jordan kernel (ops/pallas_kernels.py, kept as a
-    documented alternative)."""
+    n <= 16 (the 12-var stand QP): unrolled no-pivot Gauss-Jordan — a
+    chain of vectorized rank-1 updates that stays fast UNDER VMAP, where
+    batched LU's tiny-kernel chain is pathological on TPU (several ms at
+    (B,28,28), CLAUDE.md). Larger n: jnp.linalg.inv (single-scenario
+    adaptive path only; the batched MPC path precomputes the inverse with
+    the Pallas GJ kernel and passes it via ``kkt_inv``)."""
+    from a1_qp_mpc_controller_tpu.ops.linalg import _gj_inverse_unrolled
+
     n = P.shape[0]
     m_mat = (P + sigma * jnp.eye(n, dtype=P.dtype)
              + jnp.matmul(A.T * rho_vec[None, :], A, precision=_HIGH))
+    if n <= 16:
+        return _gj_inverse_unrolled(m_mat)
     return jnp.linalg.inv(m_mat)
 
 

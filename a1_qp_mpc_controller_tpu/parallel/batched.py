@@ -91,7 +91,15 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         m_b = qpx.scaled_kkt_matrix_blockdiag(
             prob.p_mat, base_blk, slope_blk, mu, prob.lb, prob.ub,
             settings, prob.rho0, scal)
-        if kkt_backend == "schur":
+        if kkt_backend == "chol":
+            # pure-XLA blocked Cholesky inverse (batched GEMMs): the
+            # numerically-sound MXU route — stable on this family where
+            # Schur recursion is not (ops/linalg.spd_cholesky_inverse)
+            from a1_qp_mpc_controller_tpu.ops.linalg import (
+                spd_cholesky_inverse,
+            )
+            minv = spd_cholesky_inverse(m_b, panel=30)
+        elif kkt_backend == "schur":
             minv = spd_block_inverse(m_b, base=32, block=max(kkt_block, 64),
                                      interpret=interpret)
         elif kkt_backend == "sweep_t":

@@ -240,6 +240,12 @@ class CtrlMem(struct.PyTreeNode):
     mpc_warm_started: jnp.ndarray               # () bool
     mpc_prev_contacts: jnp.ndarray              # (4,) bool: contact pattern
     #   of the previous solve — a flip invalidates the dual warm start
+    qp_warm_x: jnp.ndarray                      # (12,) stand-QP warm start
+    qp_warm_y: jnp.ndarray                      # (20,) (fixed mode only —
+    #   adaptive keeps the reference's fresh-solver-per-tick semantics,
+    #   A1RobotControl.cpp:416-431)
+    qp_prev_contacts: jnp.ndarray               # (4,) bool
+    qp_rho: jnp.ndarray                         # () carried stand-QP rho
     mpc_scaling_table: "object"                 # ops.qp.Scaling with a
     #   leading (16,) per-contact-pattern axis (srb.
     #   reference_mpc_scaling_table); select with
@@ -272,6 +278,10 @@ class CtrlMem(struct.PyTreeNode):
             imu_gyro_filter=make_filter((3,), IMU_FILTER_WINDOW, dtype),
             mpc_warm_x=jnp.zeros((nv,), dtype),
             mpc_warm_y=jnp.zeros((nc,), dtype),
+            qp_warm_x=jnp.zeros((NUM_DOF,), dtype),
+            qp_warm_y=jnp.zeros((5 * NUM_LEG,), dtype),
+            qp_prev_contacts=jnp.ones((NUM_LEG,), bool),
+            qp_rho=jnp.asarray(0.1, dtype),
             mpc_rho=jnp.asarray(1e-4, dtype),
             mpc_warm_started=jnp.asarray(False),
             mpc_prev_contacts=jnp.ones((NUM_LEG,), bool),

@@ -101,3 +101,46 @@ class TestHorizonScaling:
         z = float(carry.ps.root_pos[2])
         assert 0.2 < z < 0.4
         assert float(carry.ps.root_pos[0]) > 0.03
+
+
+def test_hardware_mpc_profile_is_force_dead_as_transcribed():
+    """Characterization of a REFERENCE quirk: the hardware_a1_mpc.yaml
+    weights (q_z=80, q_vz=0.3, r=1e-2/1e-3) make the condensed MPC
+    essentially force-dead at mpc_dt=2.5 ms — the FLOAT64 OPTIMUM of the
+    standing instance commands < 5 N total vertical force against
+    mg = 132 N (gradient balance: per-step force sensitivity of the
+    tracking cost is ~1e-5 of the R gradient). Our transcription is
+    spot-verified against the YAML (and this test pins the f64 optimum,
+    not our solver), so the in-sim hover failure of this profile
+    documented in docs/ARCHITECTURE.md is a property of the reference
+    configuration itself, presumably compensated on the real robot by
+    operator input / the QP controller during stand-up."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from a1_qp_mpc_controller_tpu.config import GRAVITY, load_profile
+    from a1_qp_mpc_controller_tpu.models import srb
+    from a1_qp_mpc_controller_tpu.ops import qp_ref
+
+    cfg, params = load_profile("hardware_mpc")
+    p, q, a, lb, ub = srb.reference_mpc_problem(params, cfg.horizon)
+    x64, _, _, info = qp_ref.solve_qp_ref(
+        np.asarray(p, np.float64), np.asarray(q, np.float64),
+        np.asarray(a, np.float64), np.asarray(lb, np.float64),
+        np.asarray(ub, np.float64), eps=1e-10)
+    assert info["converged"]
+    fz_total = x64[:12].reshape(4, 3)[:, 2].sum()
+    mg = float(params.robot_mass) * GRAVITY
+    assert fz_total < 5.0, fz_total          # force-dead
+    assert mg > 100.0                        # vs the weight it should hold
+
+    # contrast: the gazebo_mpc profile's optimum carries the full weight
+    cfg2, params2 = load_profile("gazebo_mpc")
+    p, q, a, lb, ub = srb.reference_mpc_problem(params2, cfg2.horizon)
+    x64b, _, _, _ = qp_ref.solve_qp_ref(
+        np.asarray(p, np.float64), np.asarray(q, np.float64),
+        np.asarray(a, np.float64), np.asarray(lb, np.float64),
+        np.asarray(ub, np.float64), eps=1e-10)
+    fz2 = x64b[:12].reshape(4, 3)[:, 2].sum()
+    mg2 = float(params2.robot_mass) * GRAVITY
+    assert abs(fz2 - mg2) / mg2 < 0.2

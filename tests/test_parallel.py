@@ -1,5 +1,6 @@
 """Batched + sharded execution tests on the virtual 8-device CPU mesh."""
 
+import os
 import dataclasses
 
 import numpy as np
@@ -396,3 +397,24 @@ def test_entry_compiles_and_runs():
     out = jax.jit(fn)(*args)
     assert out[2].shape == (12,)
     assert not bool(jnp.isnan(out[2]).any())
+
+
+def test_bench_scaling_cpu_mesh():
+    """bench.py's multi-device scaling mode on the virtual 8-device CPU
+    mesh: the shard_map'ed pallas_shared tick compiles, executes at 1 and
+    8 devices, and reports per-device-count throughput (the code path the
+    driver's BASELINE scaling points will use on a real multi-chip
+    slice)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    out = bench.bench_scaling(base_batch=8, ticks=2, reps=1,
+                              kkt_backend="gj", interpret=True,
+                              max_devices=8)
+    assert "1" in out and "8" in out
+    for k, v in out.items():
+        assert v["solves_per_s"] > 0
+        assert v["solves_per_s_per_chip"] > 0

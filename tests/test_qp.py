@@ -3,6 +3,7 @@ reference ADMM, and via independent KKT checks on the real MPC/stand-QP
 problem instances."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import scipy.optimize
 
@@ -295,3 +296,51 @@ class TestRankRGJKernel:
             jnp.asarray(m), rank=4, block=2, interpret=True), np.float64)
         resid = np.max(np.abs(np.eye(30) - x @ m.astype(np.float64)))
         assert resid < 1e-3, resid
+
+
+def test_stand_qp_fixed_mode_warm_started(rng):
+    """The lock-step fixed-iteration stand-QP mode (grf.compute_grf path
+    0, fixed): warm-started across ticks, it tracks the f64 optimum
+    after a few solves of the same family — a cold start at this
+    family's kappa ~1e6 needs ~400 iterations, the warm-started steady
+    state far fewer (this is why the production fixed path carries
+    qp_warm_x/y in CtrlMem)."""
+    for contacts in [(1, 1, 1, 1), (1, 0, 0, 1)]:
+        P, q, A, l, u = build_stand_qp(rng, contacts)
+        x_ref, _, _, info = qp_ref.solve_qp_ref(P, q, A, l, u, eps=1e-10)
+        assert info["converged"]
+        # production-style swing elimination (grf.compute_grf path 0)
+        s = np.repeat(np.array(contacts, bool), 3)
+        P2 = P * np.outer(s, s) + np.diag((~s).astype(np.float64))
+        q2 = q * s
+        rm = np.concatenate([np.array(contacts, bool),
+                             np.repeat(np.array(contacts, bool), 4)])
+        l2 = np.where(rm, l, -np.inf)
+        u2 = np.where(rm, u, np.inf)
+        wx = jnp.zeros(12, jnp.float32)
+        wy = jnp.zeros(20, jnp.float32)
+        rho = jnp.float32(0.1)
+        for _ in range(3):   # warm-started 100-iteration solves + rho carry
+            sol = qpx.admm_solve_fixed(
+                jnp.asarray(P2, jnp.float32), jnp.asarray(q2, jnp.float32),
+                jnp.asarray(A, jnp.float32), jnp.asarray(l2, jnp.float32),
+                jnp.asarray(u2, jnp.float32), 100,
+                qpx.QPSettings(rho=0.1), x0=wx, y0=wy, rho0=rho)
+            wx, wy = sol.x, sol.y
+            rho = jnp.clip(sol.rho, 1e-3, 1.0)
+        np.testing.assert_allclose(np.asarray(sol.x), x_ref, atol=0.3)
+
+
+def test_small_kkt_inverse_vmappable(rng):
+    """_kkt_inverse's small-n route (unrolled GJ) matches f64 inversion
+    and runs under vmap (the batched stand-QP bench path)."""
+    P, q, A, l, u = build_stand_qp(rng)
+    Pb = jnp.broadcast_to(jnp.asarray(P, jnp.float32), (8, 12, 12))
+    Ab = jnp.broadcast_to(jnp.asarray(A, jnp.float32), (8, 20, 12))
+    rho_vec = jnp.full((8, 20), 0.1, jnp.float32)
+    inv_b = jax.vmap(lambda p_, a_, r_: qpx._kkt_inverse(p_, a_, r_, 1e-6)
+                     )(Pb, Ab, rho_vec)
+    m64 = (P + 1e-6 * np.eye(12)
+           + A.T @ (0.1 * np.eye(20)) @ A)
+    np.testing.assert_allclose(np.asarray(inv_b[0]), np.linalg.inv(m64),
+                               rtol=2e-3, atol=1e-5)

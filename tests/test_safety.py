@@ -32,6 +32,12 @@ def test_position_limit_ramps_to_zero():
 
 
 def test_power_protect_scales():
+    """NOTE: this asserts OUR safety ANALOG's semantics — a whole-body
+    ~100 W/level budget with uniform torque scaling — not the Unitree
+    SDK's (proprietary, per-motor) PowerProtect behavior, which the
+    reference calls as a black box (HardwareA1ROS.cpp:194-196). The
+    analog is deliberately conservative: it can only reduce torque
+    magnitudes."""
     tau = jnp.full(12, 20.0)
     vel = jnp.full(12, 10.0)   # 2.4 kW
     out = np.asarray(safety.power_protect(tau, vel, power_level=5))
