@@ -152,15 +152,26 @@ def condense_same_b(a_c: jnp.ndarray, b_d: jnp.ndarray, dt: jnp.ndarray,
 @partial(jax.jit, static_argnames=("horizon",))
 def mpc_cost(a_qp: jnp.ndarray, b_qp: jnp.ndarray, q_weights: jnp.ndarray,
              r_weights: jnp.ndarray, mpc_states: jnp.ndarray,
-             mpc_states_d: jnp.ndarray, horizon: int = PLAN_HORIZON):
+             mpc_states_d: jnp.ndarray, horizon: int = PLAN_HORIZON,
+             contacts: jnp.ndarray | None = None):
     """Condensed QP cost: P = B' Q B + R, q = B' Q (A x0 - x_ref).
 
     Matches ConvexMpc.cpp:207-217 including the factor-2 convention baked
     into the reference's Q/R diagonals (ConvexMpc.cpp:20,41): Q = 2*diag(q_w
     tiled), R = 2*diag(r_w tiled).
+
+    ``contacts`` (4,) bool, optional: apply swing-variable elimination
+    (see :func:`eliminate_swing`) directly in the cost build — masking
+    the (H*13, H*12) B_qp COLUMNS before the GEMM instead of masking the
+    (H*12)^2 P afterwards saves a full P-sized pass per scenario.
     """
     q_diag = 2.0 * jnp.tile(q_weights, horizon)    # (H*13,)
     r_diag = 2.0 * jnp.tile(r_weights, horizon)    # (H*12,)
+    if contacts is not None:
+        s_var = jnp.tile(jnp.repeat(contacts, 3), horizon)   # (H*12,)
+        sf = s_var.astype(b_qp.dtype)
+        b_qp = b_qp * sf[None, :]
+        r_diag = r_diag * sf + (1.0 - sf)
     bq = b_qp * q_diag[:, None]                    # Q B (diag scale)
     p_mat = jnp.matmul(b_qp.T, bq, precision=_HIGH)
     p_mat = p_mat + jnp.diag(r_diag)

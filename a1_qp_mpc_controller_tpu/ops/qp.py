@@ -127,9 +127,13 @@ def rescale_cost(P: jnp.ndarray, q: jnp.ndarray, s: Scaling) -> Scaling:
     is NOT: q grows with tracking error, and a reference-instance c was
     measured 6x too large at a walk-start tick — equivalent to running
     the ADMM at a 6x-wrong stepsize, which stalls a fixed-budget solve
-    (30-50 N force transients; < 1 N with the per-instance c)."""
-    pd = s.d[:, None] * P * s.d[None, :]
-    col_p = jnp.mean(jnp.max(jnp.abs(pd), axis=0))
+    (30-50 N force transients; < 1 N with the per-instance c).
+
+    Written as a single fused reduction over P (max_i |P_ij| d_i, then
+    scale by d_j) rather than materializing d P d — the explicit
+    (B, n, n) temporary measured ~2 ms at batch 1024 on v5e."""
+    col_p = jnp.mean(
+        jnp.max(jnp.abs(P) * s.d[:, None], axis=-2) * s.d)
     norm_q = jnp.max(jnp.abs(s.d * q))
     c = 1.0 / _limit(jnp.maximum(col_p, norm_q))
     return s.replace(c=c)

@@ -78,7 +78,7 @@ def bench_throughput(batch: int, backend: str, ticks: int = 20,
         def tick(cs, mem):
             return batched_control_tick(
                 cfg, pb, cs, mem, sensors, joy, dt,
-                admm_backend="pallas_shared", kkt_block=16, admm_block=64,
+                admm_backend="pallas_shared", kkt_block=32, admm_block=64,
                 kkt_backend=kkt_backend)
     else:
         def tick(cs, mem):
@@ -116,7 +116,7 @@ def bench_throughput(batch: int, backend: str, ticks: int = 20,
     if backend == "pallas_shared":
         _, _, _, stats = jax.jit(lambda c, m: batched_control_tick(
             cfg, pb, c, m, sensors, joy, dt,
-            admm_backend="pallas_shared", kkt_block=16, admm_block=64,
+            admm_backend="pallas_shared", kkt_block=32, admm_block=64,
             kkt_backend=kkt_backend, return_stats=True))(cs2, mem2)
         conv = float(jnp.mean(stats["converged"].astype(jnp.float32)))
     return best, conv
@@ -238,7 +238,7 @@ def bench_scaling(base_batch: int = 1024, ticks: int = 20, reps: int = 3,
         def tick(pb, cs, mem, sensors):
             cs, mem, _ = batched_control_tick(
                 cfg, pb, cs, mem, sensors, joy, dt,
-                admm_backend="pallas_shared", kkt_block=16, admm_block=64,
+                admm_backend="pallas_shared", kkt_block=32, admm_block=64,
                 kkt_backend=kkt_backend, interpret=interpret)
             return cs, mem
 
