@@ -5,6 +5,7 @@ executables (MainGazebo/MainHardware/MainIsaac, SURVEY.md §1 L5):
   python -m a1_qp_mpc_controller_tpu realtime  # wall-clock 400 Hz harness
   python -m a1_qp_mpc_controller_tpu batch     # domain-randomized pod path
   python -m a1_qp_mpc_controller_tpu golden    # force-trajectory gate
+  python -m a1_qp_mpc_controller_tpu wire      # UDP loop vs loopback mock robot
 """
 
 from __future__ import annotations
@@ -62,7 +63,9 @@ def cmd_realtime(args) -> None:
     import jax.numpy as jnp
     runner = RealtimeRunner(profile=args.profile,
                             mpc_iters=args.mpc_iters,
-                            solver_mode=args.solver_mode)
+                            solver_mode=args.solver_mode,
+                            estimation_rate_hz=(500.0 if args.sensor_rate_ekf
+                                                else None))
     joy = JoyCmd.zeros()
     if args.walk:
         joy = joy.replace(ctrl_state=jnp.int32(1),
@@ -101,6 +104,40 @@ def cmd_golden(args) -> None:
         sys.exit(1)
 
 
+def cmd_wire(args) -> None:
+    """Hardware transport loop against the loopback mock robot: the
+    zero-torque udp_init_send handshake, then the 500 Hz LowState /
+    LowCmd exchange with sensor-rate estimation and 400 Hz control
+    (HardwareA1ROS.cpp:230-260 parity for the wire)."""
+    import dataclasses as _dc
+
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.runtime import wire
+    from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
+    from a1_qp_mpc_controller_tpu.types import JoyCmd
+
+    cfg, params = load_profile(args.profile)
+    cfg = _dc.replace(cfg, mpc_qp_iters=args.mpc_iters,
+                      mpc_solver_mode=args.solver_mode)
+    mock = wire.MockA1Robot(params, _parse_terrain(args.terrain))
+    runner = wire.HardwareWireRunner(cfg, params, mock.addr)
+    try:
+        import threading
+        n_hs = 10
+        t = threading.Thread(target=lambda: [mock.serve_once()
+                                             for _ in range(n_hs)])
+        t.start()
+        got = runner.handshake(n_hs)
+        t.join()
+        rep = runner.run(args.seconds, JoyCmd.zeros(), mock)
+        rep["handshake_replies"] = got
+        rep["zero_torque_cmds_before_control"] = mock.zero_torque_cmds
+        print(json.dumps(rep, indent=2))
+    finally:
+        runner.close()
+        mock.close()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="a1_qp_mpc_controller_tpu")
     p.add_argument("--cpu", action="store_true",
@@ -130,6 +167,9 @@ def main() -> None:
     pr = sub.add_parser("realtime", help="wall-clock 400 Hz harness")
     common(pr)
     pr.add_argument("--walk", action="store_true")
+    pr.add_argument("--sensor-rate-ekf", action="store_true",
+                    help="run the EKF at the 500 Hz sensor rate (the "
+                         "reference's hardware receive-thread schedule)")
     pr.set_defaults(fn=cmd_realtime, mpc_iters=50, solver_mode="fixed")
 
     pb = sub.add_parser("batch", help="domain-randomized batched rollout")
@@ -143,6 +183,12 @@ def main() -> None:
     common(pg)
     pg.add_argument("--sample-every", type=int, default=50)
     pg.set_defaults(fn=cmd_golden, seconds=10.0)
+
+    pw = sub.add_parser("wire", help="UDP LowState/LowCmd loop vs the "
+                                     "loopback mock robot")
+    common(pw)
+    pw.set_defaults(fn=cmd_wire, mpc_iters=50, solver_mode="fixed",
+                    seconds=1.0)
 
     args = p.parse_args()
     if args.cpu:
