@@ -33,3 +33,17 @@ def test_force_trajectory_fixed_mode_steady_state():
     assert rep["frac_within_tol"] >= 0.95
     assert rep["p95_dev_N"] < 10.0
     assert rep["max_dev_N"] < 20.0
+
+
+def test_force_trajectory_fixed_mode_on_slope():
+    """The fixed lock-step solver tracks the f64 optimum on sloped
+    terrain too (terrain adaptation active, pitched reference): the
+    solver-parity story is not a flat-ground artifact."""
+    from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
+
+    rep = run_gate(seconds=2.0, sample_every=41, verbose=False,
+                   solver_mode="fixed", mpc_iters=50,
+                   terrain=terrain_mod.Terrain.slope(0.15))
+    assert not rep["nan"]
+    assert rep["frac_within_tol"] >= 0.9
+    assert rep["p95_dev_N"] < 10.0

@@ -138,3 +138,45 @@ def test_fk_vmaps_over_batch(rng):
     qb = jnp.asarray(rng.uniform(-1, 1, (7, 3)), jnp.float32)
     out = jax.vmap(lambda q: kin.fk(q, p.rho_opt[0], p.rho_fix[0]))(qb)
     assert out.shape == (7, 3)
+
+
+def test_calibrate_foot_positions_recovers_offsets():
+    """Gauss-Newton on FK residuals with the analytic dfk_drho recovers
+    an injected contact offset from noisy observations — the use-case
+    the reference's calibration derivative matrices exist for
+    (A1Kinematics.h:16-19)."""
+    from a1_qp_mpc_controller_tpu.config import default_robot_params
+    from a1_qp_mpc_controller_tpu.models import calibration, kinematics
+
+    params = default_robot_params()
+    rho_fix = params.rho_fix[0]
+    rho_true = jnp.array([0.012, -0.008, 0.02], jnp.float32)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(-0.6, 0.6, (40, 3)), jnp.float32)
+    p = jax.vmap(lambda qq: kinematics.fk(qq, rho_true, rho_fix))(q)
+    p = p + jnp.asarray(rng.normal(0, 2e-4, p.shape), jnp.float32)
+    rho_est, rms = calibration.calibrate_foot_positions(q, p, rho_fix)
+    np.testing.assert_allclose(np.asarray(rho_est),
+                               np.asarray(rho_true), atol=2e-3)
+    assert float(rms) < 1e-3
+
+
+def test_calibrate_leg_odometry_recovers_offsets():
+    """Self-supervised variant: stance-phase J q_dot observations
+    (synthesized with a true offset) constrain rho_opt linearly through
+    dJ_drho."""
+    from a1_qp_mpc_controller_tpu.config import default_robot_params
+    from a1_qp_mpc_controller_tpu.models import calibration, kinematics
+
+    params = default_robot_params()
+    rho_fix = params.rho_fix[0]
+    rho_true = jnp.array([0.01, -0.006, 0.015], jnp.float32)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.uniform(-0.6, 0.6, (60, 3)), jnp.float32)
+    qd = jnp.asarray(rng.uniform(-3.0, 3.0, (60, 3)), jnp.float32)
+    b = jax.vmap(lambda qq, dd: kinematics.jac(qq, rho_true, rho_fix)
+                 @ dd)(q, qd)
+    rho_est = calibration.calibrate_leg_odometry(q, qd, b, rho_fix)
+    # linearization around rho=0: first-order accurate
+    np.testing.assert_allclose(np.asarray(rho_est),
+                               np.asarray(rho_true), atol=2e-3)

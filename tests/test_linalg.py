@@ -79,3 +79,40 @@ def test_ekf_innovation_conditioning(rng):
     resid = np.eye(n) - got @ m.astype(np.float64)
     resid = np.max(np.abs(resid / d[:, None, :] * d[:, :, None]))
     assert resid < 5e-3, resid
+
+
+def test_spd_cholesky_inverse_stable_on_kkt_family():
+    """Blocked-Cholesky inverse (pure XLA + the hybrid with the Pallas
+    panel kernel): stable at ~1e-4 residual on the swing-eliminated MPC
+    KKT family where Schur recursion diverges (resid 0.15-5.9 measured —
+    intermediate Schur complements are far worse conditioned than the
+    matrix)."""
+    import jax
+
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.control import grf
+    from a1_qp_mpc_controller_tpu.models import srb
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+    from a1_qp_mpc_controller_tpu.ops.linalg import (
+        spd_cholesky_inverse, spd_cholesky_inverse_hybrid,
+    )
+
+    cfg, params = load_profile("gazebo_mpc")
+    settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
+    p0, q0, a0m, lb, ub = srb.reference_mpc_problem(params)
+    c = jnp.array([True, False, False, True])
+    p2, q2, l2, u2 = srb.eliminate_swing(p0, q0, lb, ub, c, cfg.horizon)
+    scal = qpx.compute_scaling(p2, q2, a0m, l2, u2)
+    jitter = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                           (6, 1, 1))
+    m_b = jax.vmap(lambda p: qpx.scaled_kkt_matrix(
+        p, q2, a0m, l2, u2, settings, jnp.float32(grf._MPC_RHO0), scal)
+    )(p2[None] * jitter)
+    m64 = np.asarray(m_b, np.float64)
+    eye = np.eye(m_b.shape[1])
+    for f in (lambda m: spd_cholesky_inverse(m, panel=30),
+              lambda m: spd_cholesky_inverse_hybrid(m, panel=30,
+                                                    interpret=True)):
+        x = np.asarray(f(m_b))
+        r = np.abs(eye - np.einsum("bij,bjk->bik", x, m64)).max()
+        assert r < 5e-4, r

@@ -179,3 +179,18 @@ def test_dual_rate_estimation_schedule_stable():
     assert not rep["nan"]
     assert 0.2 < rep["final_z_m"] < 0.4      # height held
     assert rep["final_x_m"] > 0.1            # walked forward
+
+
+def test_realtime_runner_sensor_rate_ekf_smoke():
+    """Threaded hardware-parity mode: RealtimeRunner with the EKF in the
+    500 Hz sensor loop and control at 400 Hz consuming the latest
+    estimate — runs wall-clock threads briefly, produces stats, keeps
+    the plant finite."""
+    from a1_qp_mpc_controller_tpu.runtime.realtime import RealtimeRunner
+
+    runner = RealtimeRunner(mpc_iters=25, solver_mode="fixed",
+                            estimation_rate_hz=500.0)
+    stats = runner.run(0.4)
+    assert stats["iterations"] > 0
+    assert not np.isnan(np.asarray(stats["root_pos"])).any()
+    assert 0.1 < stats["root_pos"][2] < 0.5
