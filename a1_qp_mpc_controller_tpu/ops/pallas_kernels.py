@@ -69,15 +69,18 @@ def _gj_inverse_kernel(m_ref, out_ref, *, n_steps=None):
         inv_d = 1.0 / diag
         row_m = row_m * inv_d
         row_i = row_i * inv_d
-        # elimination factors: pivot column, zeroed at the pivot row
+        # elimination factors: pivot column, with the PIVOT-ROW entry set
+        # to diag - 1 instead of 0 — then the rank-1 update itself scales
+        # the pivot row in place (r - (diag-1) r/diag = r/diag), saving
+        # the two whole-block select-write passes the previous version
+        # spent restoring the scaled rows. NOTE: measured NEUTRAL on v5e
+        # (11.2 ms either way at 1024x120) — the kernel's cost is not
+        # pass-count-bound — but the simpler body is kept.
         factor = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (s, n, 1), 1) == k,
-            0.0, col)
-        m_new = m - factor * row_m              # rank-1 update (VPU)
-        i_new = inv - factor * row_i
-        # write the scaled pivot row back via select
-        m_ref[:] = jnp.where(at_row, row_m, m_new)
-        out_ref[:] = jnp.where(at_row, row_i, i_new)
+            diag - 1.0, col)
+        m_ref[:] = m - factor * row_m           # rank-1 update (VPU)
+        out_ref[:] = inv - factor * row_i
         return 0
 
     jax.lax.fori_loop(0, n if n_steps is None else n_steps, step, 0)
@@ -419,6 +422,119 @@ def _gj_rank_r_kernel(m_ref, out_ref, *, n_steps: int, rank: int):
         return 0
 
     jax.lax.fori_loop(0, n_steps // rank, step, 0)
+
+
+def _gj_rank_masked_kernel(m_ref, out_ref, *, n_steps: int, rank: int):
+    """Rank-``rank`` aggregated Gauss-Jordan with MASKED extractions (no
+    pltpu.roll — the rolls are what ate the aggregation win in
+    :func:`_gj_rank_r_kernel`, measured).
+
+    Motivation: synthetic probes measured a fixed per-fori-step cost
+    (~10 us/step at block 16) dominating pass costs — a 5-pass and a
+    7-pass GJ body time identically — suggesting r-fold step aggregation
+    should win. MEASURED OUTCOME (v5e, 2026-08-21): it does NOT — rank 4
+    compiles but runs 14.8 ms (vs flat GJ 11.2), and Mosaic CRASHES
+    (tpu_compile_helper exit 1) at rank 8/16: the many live panel values
+    blow the register allocator, and the synthetic step-cost model does
+    not transfer to real bodies. Kept as a documented negative result
+    with interpret-mode numerics tests (exact sequential-GJ equivalence,
+    2e-5 on the KKT family at any rank).
+
+    Per panel step t (pivots k0..k0+r-1), against the PRE-PANEL m / inv:
+    - pivot row j is extracted raw, then corrected by previous panel
+      pivots (e = corrected-row entry at column k0+l), scaled by 1/d;
+    - the factor column j is extracted raw and corrected by previous
+      pivots' columns (g = scaled row l entry at column kj);
+    - each factor column's own pivot-row entry is set to d-1 so the
+      fused update also scales the pivot rows in place (r - (d-1) r/d =
+      r/d), with the cross-term identity c_orig[kl] - (d_l-1) g = g
+      keeping later corrections exact.
+
+    Same numerics class as the roll-based rank kernel (progressive
+    within-panel factors): validated 7e-4 at rank 8 on the
+    swing-eliminated KKT family. Requires n_steps % rank == 0."""
+    s, n, lanes = m_ref.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (s, n, lanes), 1)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (s, n, lanes), 2)
+    col_row = jax.lax.broadcasted_iota(jnp.int32, (s, 1, lanes), 2)
+    col_of_col = jax.lax.broadcasted_iota(jnp.int32, (s, n, 1), 1)
+
+    out_ref[:] = jnp.where(row_ids == col_ids, 1.0, 0.0).astype(
+        m_ref.dtype)
+
+    def step(t, _):
+        k0 = t * rank
+        m = m_ref[:]
+        inv = out_ref[:]
+        rows_m = []
+        rows_i = []
+        cols = []
+        for j in range(rank):
+            kj = k0 + j
+            at_row = row_ids == kj
+            rm = jnp.sum(jnp.where(at_row, m, 0.0), axis=1,
+                         keepdims=True)              # (S,1,n) raw row
+            ri = jnp.sum(jnp.where(at_row, inv, 0.0), axis=1,
+                         keepdims=True)
+            cj = jnp.sum(jnp.where(col_ids == kj, m, 0.0), axis=2,
+                         keepdims=True)              # (S,n,1) raw col
+            for l in range(j):
+                e = jnp.sum(jnp.where(col_row == k0 + l, rm, 0.0),
+                            axis=2, keepdims=True)   # (S,1,1)
+                rm = rm - e * rows_m[l]
+                ri = ri - e * rows_i[l]
+            d = jnp.sum(jnp.where(col_row == kj, rm, 0.0), axis=2,
+                        keepdims=True)
+            inv_d = 1.0 / d
+            rm = rm * inv_d
+            ri = ri * inv_d
+            for l in range(j):
+                g = jnp.sum(jnp.where(col_row == kj, rows_m[l], 0.0),
+                            axis=2, keepdims=True)   # (S,1,1)
+                cj = cj - cols[l] * g
+            cj = jnp.where(col_of_col == kj, d - 1.0, cj)
+            rows_m.append(rm)
+            rows_i.append(ri)
+            cols.append(cj)
+        for j in range(rank):
+            m = m - cols[j] * rows_m[j]
+            inv = inv - cols[j] * rows_i[j]
+        m_ref[:] = m
+        out_ref[:] = inv
+        return 0
+
+    jax.lax.fori_loop(0, n_steps // rank, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("rank", "block", "interpret"))
+def batched_inverse_rank_masked(m: jnp.ndarray, rank: int = 8,
+                                block: int = 16,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Invert a batch of SPD matrices with the roll-free rank-aggregated
+    GJ kernel: (B, n, n) -> (B, n, n). Same contract as
+    :func:`batched_inverse`."""
+    b, n, _ = m.shape
+    n_pad = max(LANE, ((n + LANE - 1) // LANE) * LANE)
+    b_pad = ((b + block - 1) // block) * block
+    n_steps = ((n + rank - 1) // rank) * rank   # extra pivots hit identity
+    mm = jnp.zeros((b_pad, n_pad, n_pad), m.dtype)
+    mm = mm.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+    mm = mm.at[:b, :n, :n].set(m)
+
+    out = pl.pallas_call(
+        functools.partial(_gj_rank_masked_kernel, n_steps=n_steps,
+                          rank=rank),
+        out_shape=jax.ShapeDtypeStruct((b_pad, n_pad, n_pad), m.dtype),
+        grid=(b_pad // block,),
+        in_specs=[pl.BlockSpec((block, n_pad, n_pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, n_pad, n_pad),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(mm)
+    return out[:b, :n, :n]
 
 
 @functools.partial(jax.jit, static_argnames=("rank", "block", "interpret"))

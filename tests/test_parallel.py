@@ -418,3 +418,24 @@ def test_bench_scaling_cpu_mesh():
     for k, v in out.items():
         assert v["solves_per_s"] > 0
         assert v["solves_per_s_per_chip"] > 0
+
+
+def test_rank_masked_gj_matches_sequential():
+    """Roll-free rank-aggregated GJ (interpret mode): exact
+    sequential-GJ-equivalent progressive panel corrections — identical
+    inverses at every rank. (On-chip it is a documented negative result:
+    rank 4 is slower than flat GJ and rank 8+ crashes Mosaic; see the
+    kernel docstring.)"""
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse, batched_inverse_rank_masked,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(4, 120, 120)).astype(np.float32)
+    m = jnp.asarray(a @ a.transpose(0, 2, 1)
+                    + 120 * np.eye(120, dtype=np.float32))
+    ref = np.asarray(batched_inverse(m, block=4, interpret=True))
+    for rank in (4, 8):
+        x = np.asarray(batched_inverse_rank_masked(m, rank=rank, block=4,
+                                                   interpret=True))
+        np.testing.assert_allclose(x, ref, rtol=1e-3, atol=1e-5)
