@@ -46,11 +46,14 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     scenario-resident Pallas kernel (ops/pallas_kernels.fused_admm)
     with ``admm_block`` scenarios per grid step.
     ``kkt_backend`` picks the inverse kernel on the 'pallas_shared'
-    route: 'gj' (flat batch-leading Gauss-Jordan), 'sweep_t'
-    (transposed-layout batch-in-lanes symmetric sweep), 'gj_t'
-    (transposed-layout two-array GJ), or 'schur' (recursive
-    Schur-complement block inversion — MXU GEMMs + 32-pivot GJ bases;
-    numerically unsafe on the KKT family, benchmark only).
+    route: 'gj' (flat batch-leading Gauss-Jordan — the production
+    default, fastest measured), 'chol' (pure-XLA blocked Cholesky —
+    numerically strongest, ~30% slower), 'sweep_t' / 'gj_t'
+    (transposed batch-in-lanes kernels — retired negative results:
+    this image's Mosaic crashes on lane-dim grids, so they only run
+    single-block; see docs/ROADMAP.md), or 'schur' (recursive
+    Schur-complement block inversion — numerically unsafe on the KKT
+    family, benchmark only).
     """
     from a1_qp_mpc_controller_tpu.control import grf
     from a1_qp_mpc_controller_tpu.control.controller import (

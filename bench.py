@@ -122,6 +122,45 @@ def bench_throughput(batch: int, backend: str, ticks: int = 20,
     return best, conv
 
 
+def audit_trot_convergence(kkt_backend: str = "gj", batch: int = 1024,
+                           ticks: int = 100) -> dict:
+    """Honesty audit beyond the standing-phase number: run the batch
+    through walk onset into the trot (gait counters live, contact flips
+    staggered across scenarios) and report the per-tick converged
+    fraction over the trot window — the solver quality the throughput
+    number actually ships with."""
+    from a1_qp_mpc_controller_tpu.parallel.batched import (
+        batched_control_tick,
+    )
+
+    cfg, params, *_ , JoyCmd = build()
+    pb, cs, mem, sensors = make_batch_state(cfg, params, batch)
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.3))
+    dt = jnp.float32(cfg.control_dt)
+
+    @jax.jit
+    def run(pb, cs, mem, sensors):
+        def body(carry, _):
+            cs, mem = carry
+            cs, mem, _, stats = batched_control_tick(
+                cfg, pb, cs, mem, sensors, joy, dt,
+                admm_backend="pallas_shared", kkt_block=32, admm_block=64,
+                kkt_backend=kkt_backend, return_stats=True)
+            return (cs, mem), jnp.mean(
+                stats["converged"].astype(jnp.float32))
+        return jax.lax.scan(body, (cs, mem), None, length=ticks)[1]
+
+    frac = jax.device_get(run(pb, cs, mem, sensors))
+    trot = frac[ticks // 2:]
+    return {
+        "ticks": ticks,
+        "trot_window_mean": round(float(trot.mean()), 4),
+        "trot_window_min": round(float(trot.min()), 4),
+        "last_tick": round(float(frac[-1]), 4),
+    }
+
+
 def bench_stand_qp(batch: int = 4096, ticks: int = 20, reps: int = 3
                    ) -> float:
     """Batched 12-var stand-QP control ticks/s (BASELINE config 1: the
@@ -407,6 +446,8 @@ def main():
     log(f"stand-QP (12-var, fixed 100 it): {stand_sps:,.0f} solves/s")
     terrain = bench_terrain_eval()
     log(f"terrain eval: {terrain}")
+    trot_conv = audit_trot_convergence(kkt_backend=best_kkt or "gj")
+    log(f"trot-phase convergence audit: {trot_conv}")
 
     print(json.dumps({
         "metric": "mpc_solves_per_s_per_chip",
@@ -423,6 +464,7 @@ def main():
             "batched_backend": "pallas_shared",
             "kkt_backend": best_kkt,
             "converged_frac_osqp_tol": best_conv,
+            "converged_frac_trot_window": trot_conv,
             "scaling": scaling,
             "stand_qp_solves_per_s": round(stand_sps, 1),
             "terrain_eval": terrain,
