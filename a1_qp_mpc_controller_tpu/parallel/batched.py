@@ -39,9 +39,10 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     matrix, same ADMM iterations) — only the execution schedule differs.
     Requires cfg.mpc_solver_mode == 'fixed'.
 
-    ``use_pallas`` selects the custom Gauss-Jordan KKT-inverse kernel;
-    measurement on v5e showed XLA's batched LU inverse (the default) is
-    faster, so the kernel is an option/benchmark, not the default path.
+    ``use_pallas`` selects the Pallas GJ inverse on the legacy
+    (non-shared) route, whose default is vmap'ed XLA inversion — that
+    route exists for equivalence testing; production throughput uses
+    ``admm_backend='pallas_shared'``.
     ``admm_backend='pallas'`` runs the ADMM iterations in the fused
     scenario-resident Pallas kernel (ops/pallas_kernels.fused_admm)
     with ``admm_block`` scenarios per grid step.
