@@ -183,11 +183,16 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
         lb = jnp.where(row_mask, lb, -inf)
         ub = jnp.where(row_mask, ub, inf)
         if cfg.mpc_solver_mode == "fixed":
-            # lock-step throughput mode: warm-started fixed budget (a
-            # cold start at this family's kappa ~1e6 needs ~400
-            # iterations; warm-started steady-state needs far fewer).
-            # The adaptive branch keeps the reference's
-            # fresh-solver-per-tick semantics.
+            # batched throughput mode: warm-started + rho carry, but the
+            # SOLVER stays the adaptive solve-to-tolerance ADMM (the
+            # reference's OSQP runs to tolerance every tick,
+            # A1RobotControl.cpp:428): at n=12 the while_loop's
+            # refactorizations are unrolled 12x12 GJ inverses and under
+            # vmap the loop is lock-step-bounded by max_iter anyway. A
+            # pure fixed budget was measured to stall at contact flips
+            # (~20 N transients at 100-300 iterations; the kappa ~1e6
+            # family's flip-tick active-set discovery wants both rho
+            # adaptation and a variable iteration count).
             flip = cs.contacts != mem.qp_prev_contacts
             keep_v = jnp.repeat(~flip, 3) & s_var
             keep_r = jnp.concatenate([~flip, jnp.repeat(~flip, 4)]
@@ -196,9 +201,12 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
             wy = jnp.where(keep_r, mem.qp_warm_y, 0.0)
             rho0 = jnp.where(jnp.any(flip), jnp.asarray(_QP_RHO0, dtype),
                              mem.qp_rho)
-            sol = qpx.admm_solve_fixed(
-                p_mat, q_vec, a_mat, lb, ub, cfg.stand_qp_iters,
-                qpx.QPSettings(rho=_QP_RHO0), x0=wx, y0=wy, rho0=rho0)
+            sol = qpx.admm_solve(
+                p_mat, q_vec, a_mat, lb, ub,
+                qpx.QPSettings(rho=_QP_RHO0, eps_abs=1e-4, eps_rel=1e-4,
+                               max_iter=cfg.stand_qp_iters * 10,
+                               check_every=cfg.qp_check_every),
+                x0=wx, y0=wy, rho0=rho0)
             mem = mem.replace(qp_warm_x=sol.x, qp_warm_y=sol.y,
                               qp_prev_contacts=cs.contacts,
                               qp_rho=jnp.clip(sol.rho, 1e-3, 1.0))

@@ -64,6 +64,24 @@ def rebuild_mpc_qp(cfg: A1Config, params: RobotParams, cs, dt):
     return p_mat, q_vec, a_mat, lb, ub
 
 
+def rebuild_stand_qp(cfg: A1Config, params: RobotParams, cs):
+    """Reconstruct the 12-var stand QP compute_grf solved this tick
+    (mirrors control/grf.py path 0 incl. the swing elimination)."""
+    from a1_qp_mpc_controller_tpu.control import grf
+
+    p_mat, q_vec = grf.stand_qp_matrices(params, cs)
+    a_mat, lb, ub = grf.stand_qp_constraints(params, cs)
+    s_var = jnp.repeat(cs.contacts, 3)
+    sf = s_var.astype(p_mat.dtype)
+    p_mat = p_mat * (sf[:, None] * sf[None, :]) + jnp.diag(1.0 - sf)
+    q_vec = q_vec * sf
+    row_mask = jnp.concatenate([cs.contacts, jnp.repeat(cs.contacts, 4)])
+    inf = jnp.asarray(jnp.inf, p_mat.dtype)
+    lb = jnp.where(row_mask, lb, -inf)
+    ub = jnp.where(row_mask, ub, inf)
+    return p_mat, q_vec, a_mat, lb, ub
+
+
 def run_gate(seconds: float = 10.0, sample_every: int = 50,
              walk_after_s: float = 1.0, velx: float = 0.3,
              mpc_iters: int = 400, solver_mode: str = "adaptive",
@@ -91,7 +109,12 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
         prev = ps.root_lin_vel
         ps = plant_mod.plant_step(params, terrain, ps, tq, dt)
         if t >= walk_after and (t - walk_after) % sample_every == 0:
-            p_mat, q_vec, a_mat, lb, ub = rebuild_mpc_qp(cfg, params, cs, dt)
+            if cfg.stance_leg_control_type == 0:
+                p_mat, q_vec, a_mat, lb, ub = rebuild_stand_qp(
+                    cfg, params, cs)
+            else:
+                p_mat, q_vec, a_mat, lb, ub = rebuild_mpc_qp(
+                    cfg, params, cs, dt)
             x64, _, _, info = qp_ref.solve_qp_ref(
                 np.asarray(p_mat, np.float64), np.asarray(q_vec, np.float64),
                 np.asarray(a_mat, np.float64), np.asarray(lb, np.float64),

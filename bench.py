@@ -165,7 +165,10 @@ def bench_stand_qp(batch: int = 4096, ticks: int = 20, reps: int = 3
                    ) -> float:
     """Batched 12-var stand-QP control ticks/s (BASELINE config 1: the
     reference's 500 Hz QP balance path, A1RobotControl.cpp:416-431).
-    Fixed lock-step mode; full tick incl. ingest/EKF/plan/torques."""
+    Fixed mode = warm-started adaptive-core solve (the 12-var while_loop
+    is lock-step-bounded under vmap); full tick incl.
+    ingest/EKF/plan/torques. Quality: golden-gated at frac 1.0 within
+    2 N vs the f64 optimum (tests/test_golden.py)."""
     from a1_qp_mpc_controller_tpu.config import load_profile
     from a1_qp_mpc_controller_tpu.control.controller import control_tick
     from a1_qp_mpc_controller_tpu.parallel.batched import make_bench_state

@@ -47,3 +47,17 @@ def test_force_trajectory_fixed_mode_on_slope():
     assert not rep["nan"]
     assert rep["frac_within_tol"] >= 0.9
     assert rep["p95_dev_N"] < 10.0
+
+
+def test_stand_qp_force_trajectory_both_modes():
+    """The 12-var stand-QP path (the reference's headline 500 Hz balance
+    controller) gets its own golden gate: both the adaptive mode and the
+    batched fixed mode (warm-started adaptive-core solve) track the f64
+    optimum through a gazebo_qp trot."""
+    for mode in ("adaptive", "fixed"):
+        rep = run_gate(seconds=1.5, sample_every=43, verbose=False,
+                       profile="gazebo_qp", solver_mode=mode,
+                       mpc_iters=50)
+        assert not rep["nan"], mode
+        assert rep["frac_within_tol"] == 1.0, (mode, rep)
+        assert rep["max_dev_N"] < 1.5, (mode, rep)
