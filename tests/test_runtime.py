@@ -185,12 +185,24 @@ def test_realtime_runner_sensor_rate_ekf_smoke():
     """Threaded hardware-parity mode: RealtimeRunner with the EKF in the
     500 Hz sensor loop and control at 400 Hz consuming the latest
     estimate — runs wall-clock threads briefly, produces stats, keeps
-    the plant finite."""
-    from a1_qp_mpc_controller_tpu.runtime.realtime import RealtimeRunner
-
-    runner = RealtimeRunner(mpc_iters=25, solver_mode="fixed",
-                            estimation_rate_hz=500.0)
-    stats = runner.run(0.4)
-    assert stats["iterations"] > 0
-    assert not np.isnan(np.asarray(stats["root_pos"])).any()
-    assert 0.1 < stats["root_pos"][2] < 0.5
+    the plant finite. Runs in a SUBPROCESS: wall-clock native threads +
+    fresh XLA compiles inside the long-lived pytest process triggered a
+    rare jaxlib segfault (observed twice in ~20-minute full-suite runs,
+    never in isolation)."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import numpy as np\n"
+        "from a1_qp_mpc_controller_tpu.runtime.realtime import "
+        "RealtimeRunner\n"
+        "r = RealtimeRunner(mpc_iters=25, solver_mode='fixed', "
+        "estimation_rate_hz=500.0)\n"
+        "s = r.run(0.4)\n"
+        "assert s['iterations'] > 0, s\n"
+        "assert not np.isnan(np.asarray(s['root_pos'])).any(), s\n"
+        "assert 0.1 < s['root_pos'][2] < 0.5, s\n"
+        "print('SMOKE_OK')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SMOKE_OK" in out.stdout
