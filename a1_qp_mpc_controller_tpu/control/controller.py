@@ -130,6 +130,42 @@ def merge_estimate_mem(est_mem: CtrlMem, ctrl_mem: CtrlMem) -> CtrlMem:
                             imu_gyro_filter=est_mem.imu_gyro_filter)
 
 
+def merge_estimate_cs(est_cs: CtrlState, ctrl_cs: CtrlState) -> CtrlState:
+    """Publish only the estimation-owned CtrlState fields (ingested
+    sensors, FK fan-out, EKF root state) into the control thread's
+    current state. The reference's receive thread writes exactly these
+    blackboard fields (HardwareA1ROS.cpp:245-378); publishing the whole
+    snapshot instead would silently discard any control-tick planning
+    update (gait counters, FSM state, swing targets) that interleaved
+    the estimate — a lost-update race, not mere staleness."""
+    return ctrl_cs.replace(
+        # ingest_sensors fields
+        root_quat=est_cs.root_quat,
+        root_rot_mat=est_cs.root_rot_mat,
+        root_euler=est_cs.root_euler,
+        root_rot_mat_z=est_cs.root_rot_mat_z,
+        root_ang_vel=est_cs.root_ang_vel,
+        imu_acc=est_cs.imu_acc,
+        imu_ang_vel=est_cs.imu_ang_vel,
+        joint_pos=est_cs.joint_pos,
+        joint_vel=est_cs.joint_vel,
+        foot_force=est_cs.foot_force,
+        foot_pos_rel=est_cs.foot_pos_rel,
+        foot_pos_abs=est_cs.foot_pos_abs,
+        foot_pos_world=est_cs.foot_pos_world,
+        foot_vel_rel=est_cs.foot_vel_rel,
+        foot_vel_abs=est_cs.foot_vel_abs,
+        foot_vel_world=est_cs.foot_vel_world,
+        j_foot=est_cs.j_foot,
+        # estimator.step fields
+        estimated_contacts=est_cs.estimated_contacts,
+        estimated_root_pos=est_cs.estimated_root_pos,
+        estimated_root_vel=est_cs.estimated_root_vel,
+        root_pos=est_cs.root_pos,
+        root_lin_vel=est_cs.root_lin_vel,
+    )
+
+
 def control_tick_noest(cfg: A1Config, params: RobotParams, cs: CtrlState,
                        mem: CtrlMem, joy: JoyCmd, dt: jnp.ndarray
                        ) -> Tuple[CtrlState, CtrlMem, jnp.ndarray]:

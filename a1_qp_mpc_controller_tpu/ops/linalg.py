@@ -180,10 +180,17 @@ def spd_cholesky_inverse(k_mat: jnp.ndarray, panel: int = 30
     2. block lower-triangular inversion M = L^-1 (batched GEMMs),
     3. X = M' M (one batched GEMM).
 
-    ~n^3 * 5/3 MACs per matrix, all in einsum bmm form. Requires
-    n % panel == 0."""
+    ~n^3 * 5/3 MACs per matrix, all in einsum bmm form. When n is not a
+    multiple of ``panel`` the matrix is padded up with an identity tail
+    (block-diagonal zero coupling => the padded inverse's top-left block
+    is exact), so any horizon works with the default panel."""
     b, n, _ = k_mat.shape
-    assert n % panel == 0, (n, panel)
+    if n % panel != 0:
+        n_pad = ((n + panel - 1) // panel) * panel
+        mm = jnp.zeros((b, n_pad, n_pad), k_mat.dtype)
+        mm = mm.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+        mm = mm.at[:, :n, :n].set(k_mat)
+        return spd_cholesky_inverse(mm, panel)[:, :n, :n]
     np_ = n // panel
 
     a = k_mat
@@ -244,7 +251,13 @@ def spd_cholesky_inverse_hybrid(k_mat: jnp.ndarray, panel: int = 30,
     )
 
     b, n, _ = k_mat.shape
-    assert n % panel == 0, (n, panel)
+    if n % panel != 0:
+        n_pad = ((n + panel - 1) // panel) * panel
+        mm = jnp.zeros((b, n_pad, n_pad), k_mat.dtype)
+        mm = mm.at[:, jnp.arange(n_pad), jnp.arange(n_pad)].set(1.0)
+        mm = mm.at[:, :n, :n].set(k_mat)
+        return spd_cholesky_inverse_hybrid(mm, panel,
+                                           interpret)[:, :n, :n]
     np_ = n // panel
 
     a = k_mat

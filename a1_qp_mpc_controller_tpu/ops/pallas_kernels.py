@@ -974,11 +974,15 @@ def _sweep_inverse_T_masked_kernel(m_ref, out_ref, *, n_steps: int,
                                    chunk: int):
     """Row-chunked transposed sweep with NO dynamic ref indexing.
 
-    Mosaic on this image crashes (`tpu_compile_helper exit 1`) on every
-    kernel that uses dynamic ``ref[pl.ds(k, 1)]`` reads/stores on the
-    untiled leading dim — including the bounded-slab chunked variant, so
-    the crash is the dynamic indexing itself, not value size (measured
-    2026-08-21, see docs/ROADMAP.md). This variant replaces them:
+    Probe status on this image's Mosaic (scripts/probe_mosaic*.py,
+    2026-08-21): dynamic ``ref[pl.ds(k, 1)]`` leading-dim reads/STORES
+    pass in isolation (the masked2 variant's dynamic-slice store probed
+    PASS), but the specific read pattern in the CHUNKED sweep variant
+    (_sweep_inverse_T_chunked_kernel: dynamic slab reads inside the
+    pivot loop combined with in/out aliasing) crashes
+    (`tpu_compile_helper exit 1`). The decisive, fully-reproduced
+    crasher is ANY grid over the lane dimension (CLAUDE.md). This
+    variant avoids both hazards:
 
     - all leading-dim slices are STATIC ``chunk``-row slabs;
     - the pivot row is CARRIED through the fori_loop as a (1, n, S)

@@ -191,29 +191,36 @@ class RealtimeRunner:
         self.ring.push(pack_sensors(s))
 
     def _produce_estimate(self, _tick_idx: int) -> None:
-        """Sensor-rate thread in hardware-parity mode: push the frame AND
-        run ingest+EKF on it (the reference's receive thread does both,
-        HardwareA1ROS.cpp:245-378). Publishes (cs, mem) by atomic
-        reference swap — the functional analog of the blackboard write."""
+        """Sensor-rate thread in hardware-parity mode: advance the plant at
+        the SENSOR rate with the latest torques, push the frame, and run
+        ingest+EKF on it (the reference's receive thread ingests and
+        estimates, HardwareA1ROS.cpp:245-378; the robot's physics runs
+        continuously). Advancing the plant here — not in the control loop
+        — keeps the finite-difference IMU acceleration consistent with
+        the sensor period, matching run_dual_rate_sim's deterministic
+        schedule."""
+        s_dt = jnp.float32(self.sensor_dt)
         s = plant_mod.read_sensors(self.params, self.ps, self.prev_vel,
-                                   jnp.float32(self.sensor_dt))
+                                   s_dt)
+        self.prev_vel = self.ps.root_lin_vel
+        self.ps = plant_mod.plant_step(self.params, self.terrain, self.ps,
+                                       self.torques, s_dt)
         self.ring.push(pack_sensors(s))
         frame = self.ring.pop_latest()
         if frame is None:
             return
         cs, mem = self._est(self.params, self.cs, self.mem,
-                            unpack_sensors(frame),
-                            jnp.float32(self.sensor_dt))
-        # publish only estimation-owned memory (EKF + IMU filters),
-        # re-merged against the control thread's CURRENT memory so a
-        # concurrent warm-start write is never lost; the cs swap can
-        # leave planning fields one sensor period stale, which is the
-        # benign analog of the reference's blackboard races
+                            unpack_sensors(frame), s_dt)
+        # publish only estimation-owned fields, re-merged against the
+        # control thread's CURRENT (cs, mem) so a concurrent planning or
+        # warm-start write is never lost — the field-wise analog of the
+        # reference's receive thread writing only estimation blackboard
+        # fields
         from a1_qp_mpc_controller_tpu.control.controller import (
-            merge_estimate_mem,
+            merge_estimate_cs, merge_estimate_mem,
         )
         self.mem = merge_estimate_mem(mem, self.mem)
-        self.cs = cs
+        self.cs = merge_estimate_cs(cs, self.cs)
 
     def _consume(self, _tick_idx: int) -> None:
         frame = self.ring.pop_latest()
@@ -232,16 +239,15 @@ class RealtimeRunner:
 
     def _consume_noest(self, _tick_idx: int) -> None:
         """Control-rate thread in hardware-parity mode: consume the
-        latest estimate snapshot, no re-ingest."""
+        latest estimate snapshot, no re-ingest. The plant advances in the
+        sensor loop (_produce_estimate); this thread only publishes the
+        new torque command, like the reference's send_cmd."""
         t0 = time.perf_counter()
         cs, mem, torques = self._tick_ne(self.params, self.cs, self.mem,
                                          self.joy, self.dt)
         torques.block_until_ready()
         self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
         self.cs, self.mem, self.torques = cs, mem, torques
-        self.prev_vel = self.ps.root_lin_vel
-        self.ps = plant_mod.plant_step(self.params, self.terrain, self.ps,
-                                       torques, self.dt)
 
     def run(self, seconds: float, joy: Optional[JoyCmd] = None) -> dict:
         if joy is not None:

@@ -116,3 +116,13 @@ def test_spd_cholesky_inverse_stable_on_kkt_family():
         x = np.asarray(f(m_b))
         r = np.abs(eye - np.einsum("bij,bjk->bik", x, m64)).max()
         assert r < 5e-4, r
+
+def test_spd_cholesky_inverse_nonmultiple_n(rng):
+    """n not a multiple of the panel (e.g. horizon 8 -> n=96 with the
+    default panel=30) pads with an identity tail instead of asserting
+    (round-3 advisor finding)."""
+    for n in (96, 50):
+        m = jnp.asarray(_spd(rng, 3, n), jnp.float32)
+        x = np.asarray(linalg.spd_cholesky_inverse(m, panel=30))
+        ref = np.linalg.inv(np.asarray(m, np.float64))
+        assert np.abs(x - ref).max() < 5e-4 * np.abs(ref).max()

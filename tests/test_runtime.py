@@ -206,3 +206,45 @@ def test_realtime_runner_sensor_rate_ekf_smoke():
                          capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "SMOKE_OK" in out.stdout
+
+
+def test_merge_estimate_cs_preserves_planning_fields():
+    """The sensor-rate estimate publish must not clobber concurrent
+    control-thread planning updates (lost-update race, round-3 advisor
+    finding): merge_estimate_cs takes estimation-owned fields from the
+    estimate snapshot and keeps the control thread's planning fields."""
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.control.controller import (
+        merge_estimate_cs,
+    )
+    from a1_qp_mpc_controller_tpu.types import CtrlState
+
+    cfg, params = load_profile("gazebo_mpc")
+    base = CtrlState.init(cfg, params)
+    # control thread advanced planning state since the estimate snapshot
+    ctrl = base.replace(
+        gait_counter=base.gait_counter + 7.0,
+        foot_pos_target_rel=base.foot_pos_target_rel + 0.05,
+        movement_mode=jnp.int32(1),
+    )
+    # estimation thread produced fresh sensor-derived state
+    est = base.replace(
+        root_pos=jnp.array([0.1, 0.2, 0.31]),
+        root_lin_vel=jnp.array([0.3, 0.0, 0.0]),
+        joint_pos=base.joint_pos + 0.01,
+        foot_pos_abs=base.foot_pos_abs + 0.02,
+    )
+    merged = merge_estimate_cs(est, ctrl)
+    # estimation fields come from est
+    np.testing.assert_allclose(np.asarray(merged.root_pos),
+                               [0.1, 0.2, 0.31])
+    np.testing.assert_allclose(np.asarray(merged.joint_pos),
+                               np.asarray(est.joint_pos))
+    np.testing.assert_allclose(np.asarray(merged.foot_pos_abs),
+                               np.asarray(est.foot_pos_abs))
+    # planning fields come from ctrl (NOT discarded)
+    np.testing.assert_allclose(np.asarray(merged.gait_counter),
+                               np.asarray(ctrl.gait_counter))
+    np.testing.assert_allclose(np.asarray(merged.foot_pos_target_rel),
+                               np.asarray(ctrl.foot_pos_target_rel))
+    assert int(merged.movement_mode) == 1
