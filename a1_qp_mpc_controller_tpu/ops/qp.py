@@ -393,6 +393,114 @@ def scaled_kkt_matrix(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
     return _kkt_matrix(sp.P, sp.A, rho_vec, settings.sigma)
 
 
+def _inv3x3_spd(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of SPD 3x3 blocks, batched over any
+    leading axes: (..., 3, 3) -> (..., 3, 3)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / det
+    row0 = jnp.stack([co00, co01, co02], axis=-1)
+    row1 = jnp.stack([co01, co11, co12], axis=-1)
+    row2 = jnp.stack([co02, co12, co22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None,
+                                                           None]
+
+
+@partial(jax.jit, static_argnames=("n_r", "big_capacity", "block",
+                                   "small_block", "interpret"))
+def reduced_kkt_inverse(m_b: jnp.ndarray, live: jnp.ndarray,
+                        n_r: int = 64, big_capacity: int = 256,
+                        block: int = 32, small_block: int = 64,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Inverse of the swing-eliminated KKT family via contact-pattern
+    shape reduction — the structural attack on the batched 120x120
+    Gauss-Jordan wall (11.2 ms at batch 1024, docs/ROADMAP.md).
+
+    The eliminated family (srb.eliminate_swing; the gating that makes
+    swing variables dead is the reference's contact-flag bound gating,
+    /root/reference ConvexMpc.cpp:228-245) has EXACT structure:
+
+    - zero coupling between live (stance) and dead (swing) variables
+      (the cost build masks B_qp columns, so P live-dead entries are
+      exact zeros; the friction-cone A'rho A term is block-diagonal per
+      (step, leg) 3x3 and all three components of a leg share liveness);
+    - the dead-dead part is 3x3 block-diagonal.
+
+    So K^-1 = scatter(inv(gather_live(K))) (+) dead 3x3 inverses. In a
+    trot, n_live = 60 of 120 — the live solve fits a static (n_r=64)
+    Gauss-Jordan whose per-pivot VPU pass is (64,128) instead of
+    (128,128) and whose pivot count is 64 instead of 120: ~3.7x less
+    kernel work. Scenarios with n_live > n_r (3-4 stance legs: stand
+    phase, early-contact ticks) are gathered into a ``big_capacity``
+    bucket and inverted at full size; if MORE than ``big_capacity``
+    scenarios exceed n_r in one tick, the whole batch falls back to the
+    full-size kernel (lax.cond — correctness never depends on the
+    capacity guess).
+
+    ``live``: (B, n) bool — stance-variable mask (tile(repeat(contacts,
+    3), horizon)). Requires n % 3 == 0 (per-leg 3-component blocks).
+    """
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse, batched_inverse_small,
+    )
+
+    b, n, _ = m_b.shape
+    assert n % 3 == 0
+    dtype = m_b.dtype
+    if big_capacity >= b or n_r >= n:
+        return batched_inverse(m_b, block=block, interpret=interpret)
+
+    n_live = jnp.sum(live, axis=1)                          # (B,)
+    # live-first stable permutation; the first n_r entries index the
+    # reduced system (for n_live < n_r the tail picks up dead columns,
+    # whose junk inverse is masked out below)
+    order = jnp.argsort(jnp.where(live, 0, 1), axis=1,
+                        stable=True)                        # (B, n)
+    idx = order[:, :n_r]                                    # (B, n_r)
+    onehot = jax.nn.one_hot(idx, n, dtype=dtype)            # (B, n_r, n)
+    ke = jnp.einsum("bri,bij->brj", onehot, m_b,
+                    precision=_HIGH)                        # (B, n_r, n)
+    k_red = jnp.einsum("brj,bsj->brs", ke, onehot,
+                       precision=_HIGH)                     # (B,n_r,n_r)
+    l_inv = batched_inverse_small(k_red, block=small_block,
+                                  interpret=interpret)
+    le = jnp.einsum("brs,bsj->brj", l_inv, onehot,
+                    precision=_HIGH)                        # (B, n_r, n)
+    out = jnp.einsum("bri,brj->bij", onehot, le,
+                     precision=_HIGH)                       # (B, n, n)
+    lm = live.astype(dtype)
+    out = out * (lm[:, :, None] * lm[:, None, :])
+    # dead 3x3 diagonal blocks, inverted in closed form and placed back
+    nblk = n // 3
+    m5 = m_b.reshape(b, nblk, 3, nblk, 3)
+    diag_blocks = jnp.einsum("btitj->btij", m5)             # (B,T,3,3)
+    dead_blk = (~live[:, ::3]).astype(dtype)                # (B, T)
+    dinv = _inv3x3_spd(diag_blocks) * dead_blk[:, :, None, None]
+    eye_t = jnp.eye(nblk, dtype=dtype)
+    out = out + (dinv[:, :, :, None, :]
+                 * eye_t[None, :, None, :, None]).reshape(b, n, n)
+
+    # full-size bucket: the big_capacity scenarios with the most live
+    # variables (covers every n_live > n_r scenario unless overflow)
+    _, big_idx = jax.lax.top_k(n_live, big_capacity)
+    big_inv = batched_inverse(jnp.take(m_b, big_idx, axis=0),
+                              block=block, interpret=interpret)
+    out = out.at[big_idx].set(big_inv)
+
+    overflow = jnp.sum((n_live > n_r).astype(jnp.int32)) > big_capacity
+    return jax.lax.cond(
+        overflow,
+        lambda: batched_inverse(m_b, block=block, interpret=interpret),
+        lambda: out)
+
+
 def newton_schulz_inverse(m_mat: jnp.ndarray, seed: jnp.ndarray,
                           iters: int) -> jnp.ndarray:
     """Iteratively (re)compute M^-1 with Newton-Schulz: X <- X(2I - M X).

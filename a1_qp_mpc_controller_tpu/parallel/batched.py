@@ -30,6 +30,10 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
                          admm_backend: str = "xla",
                          admm_block: int = 16,
                          kkt_backend: str = "gj",
+                         kkt_reduced_nr: int = 64,
+                         kkt_big_capacity: int = 256,
+                         rescue_capacity: int = 0,
+                         rescue_iters: int = 25,
                          return_stats: bool = False,
                          interpret: bool = False):
     """One batched MPC control tick with the KKT factorization (and
@@ -47,12 +51,15 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     scenario-resident Pallas kernel (ops/pallas_kernels.fused_admm)
     with ``admm_block`` scenarios per grid step.
     ``kkt_backend`` picks the inverse kernel on the 'pallas_shared'
-    route: 'gj' (flat batch-leading Gauss-Jordan — the production
-    default, fastest measured), 'chol' (pure-XLA blocked Cholesky —
-    numerically strongest, ~30% slower), 'sweep_t' / 'gj_t'
-    (transposed batch-in-lanes kernels — retired negative results:
-    this image's Mosaic crashes on lane-dim grids, so they only run
-    single-block; see docs/ROADMAP.md), or 'schur' (recursive
+    route: 'reduced' (contact-pattern shape reduction — live-block
+    gather to a static ``kkt_reduced_nr``-var Gauss-Jordan, full-size
+    kernel only on the ``kkt_big_capacity`` scenarios with the most
+    stance legs, overflow-safe; see ops/qp.reduced_kkt_inverse), 'gj'
+    (flat batch-leading Gauss-Jordan at full size), 'chol' (pure-XLA
+    blocked Cholesky — numerically strongest, ~30% slower), 'sweep_t' /
+    'gj_t' (transposed batch-in-lanes kernels — retired negative
+    results: this image's Mosaic crashes on lane-dim grids, so they
+    only run single-block; see docs/ROADMAP.md), or 'schur' (recursive
     Schur-complement block inversion — numerically unsafe on the KKT
     family, benchmark only).
     """
@@ -95,7 +102,14 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         m_b = qpx.scaled_kkt_matrix_blockdiag(
             prob.p_mat, base_blk, slope_blk, mu, prob.lb, prob.ub,
             settings, prob.rho0, scal)
-        if kkt_backend == "chol":
+        if kkt_backend == "reduced":
+            live = jnp.tile(jnp.repeat(cs.contacts, 3, axis=1),
+                            (1, cfg.horizon))               # (B, H*12)
+            minv = qpx.reduced_kkt_inverse(
+                m_b, live, n_r=kkt_reduced_nr,
+                big_capacity=kkt_big_capacity, block=kkt_block,
+                interpret=interpret)
+        elif kkt_backend == "chol":
             # pure-XLA blocked Cholesky inverse (batched GEMMs): the
             # numerically-sound MXU route — stable on this family where
             # Schur recursion is not (ops/linalg.spd_cholesky_inverse)
@@ -126,6 +140,47 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
             cfg.mpc_qp_iters, settings, prob.warm_x, prob.warm_y,
             prob.rho0, scal, minv, block=admm_block,
             interpret=interpret)
+        if rescue_capacity > 0:
+            # flip-rescue second pass: contact-flip ticks are where a
+            # fixed budget falls short (the reference's OSQP simply
+            # iterates to tolerance every tick,
+            # A1RobotControl.cpp:522-540); instead of paying extra
+            # iterations on every scenario, gather the worst
+            # ``rescue_capacity`` unconverged scenarios, continue THEIR
+            # solve for ``rescue_iters`` more iterations (same KKT
+            # inverse — the rescue reuses rho0, so no refactorization),
+            # and scatter back. Already-converged scenarios keep their
+            # bit-identical first-pass solution.
+            score = jnp.where(sol.converged, 0.0,
+                              jnp.maximum(sol.prim_res, sol.dual_res))
+            cap = min(rescue_capacity, score.shape[0])
+            _, ridx = jax.lax.top_k(score, cap)
+            take = lambda t: jax.tree_util.tree_map(
+                lambda a: jnp.take(a, ridx, axis=0), t)
+            sol_r = qpx.admm_solve_fixed_batched_shared(
+                jnp.take(prob.p_mat, ridx, axis=0),
+                jnp.take(prob.q_vec, ridx, axis=0), a0, a1,
+                jnp.take(mu, ridx, axis=0),
+                jnp.take(prob.lb, ridx, axis=0),
+                jnp.take(prob.ub, ridx, axis=0),
+                rescue_iters, settings,
+                jnp.take(sol.x, ridx, axis=0),
+                jnp.take(sol.y, ridx, axis=0),
+                jnp.take(prob.rho0, ridx, axis=0), take(scal),
+                jnp.take(minv, ridx, axis=0), block=admm_block,
+                interpret=interpret)
+            unconv = ~jnp.take(sol.converged, ridx, axis=0)
+
+            def merge(orig, new):
+                keep = unconv.reshape((cap,) + (1,) * (new.ndim - 1))
+                patched = jnp.where(keep, new,
+                                    jnp.take(orig, ridx, axis=0))
+                return orig.at[ridx].set(patched)
+
+            sol = jax.tree_util.tree_map(merge, sol, sol_r)
+            rescued = jnp.zeros(score.shape[0], bool).at[ridx].set(unconv)
+            sol = sol.replace(iters=cfg.mpc_qp_iters + jnp.where(
+                rescued, rescue_iters, 0).astype(jnp.int32))
         out = jax.vmap(
             lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)
         )(params_b, cs, mem, sol)

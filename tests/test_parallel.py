@@ -519,3 +519,162 @@ def test_batched_tick_matches_single_through_contact_flip():
         # at convergence and drifts a few percent between the two
         # schedules — the torque equivalence above is the real check)
     assert flipped, "test never crossed a contact flip"
+
+
+def _eliminated_kkt_batch(patterns):
+    """(B, 120, 120) scaled KKT matrices of the swing-eliminated family,
+    one per contact pattern, with the production per-pattern scaling."""
+    from a1_qp_mpc_controller_tpu.control import grf
+    from a1_qp_mpc_controller_tpu.models import srb
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    cfg, params = bench_cfg()
+    settings = qpx.QPSettings(rho=grf._MPC_RHO0, adaptive_rho=False)
+    p0, q0, a0m, lb, ub = srb.reference_mpc_problem(params)
+    table = srb.reference_mpc_scaling_table(params)
+    ms, lives = [], []
+    for pat in patterns:
+        c = jnp.asarray(pat)
+        p2, q2, l2, u2 = srb.eliminate_swing(p0, q0, lb, ub, c,
+                                             cfg.horizon)
+        scal = grf.scaling_for_contacts(table, c)
+        scal = qpx.rescale_cost(p2, q2, scal)
+        ms.append(qpx.scaled_kkt_matrix(
+            p2, q2, a0m, l2, u2, settings,
+            jnp.float32(grf._MPC_RHO0), scal))
+        lives.append(jnp.tile(jnp.repeat(c, 3), cfg.horizon))
+    return jnp.stack(ms), jnp.stack(lives)
+
+
+def test_reduced_kkt_inverse_matches_full():
+    """Contact-pattern shape reduction (ops/qp.reduced_kkt_inverse):
+    2-stance scenarios solve through the gathered 64-var kernel,
+    3/4-stance through the capacity-bounded full-size bucket — the
+    result must match the dense inverse on every scenario."""
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    patterns = [
+        [True, False, False, True],    # trot pair A   (60 live)
+        [False, True, True, False],    # trot pair B   (60 live)
+        [True, True, True, False],     # early contact (90 live)
+        [True, True, True, True],      # stand         (120 live)
+        [True, False, False, True],    # trot again    (60 live)
+        [True, True, True, True],      # stand         (120 live)
+    ]
+    m_b, live = _eliminated_kkt_batch(patterns)
+    out = np.asarray(qpx.reduced_kkt_inverse(
+        m_b, live, n_r=64, big_capacity=3, block=2, small_block=2,
+        interpret=True))
+    m64 = np.asarray(m_b, np.float64)
+    eye = np.eye(120)
+    resid = np.abs(np.einsum("bij,bjk->bik", out, m64) - eye).max()
+    assert resid < 5e-3, resid
+    # dead rows/cols of the inverse must carry no live coupling
+    lm = np.asarray(live[0], bool)
+    assert np.abs(out[0][~lm][:, lm]).max() == 0.0
+
+
+def test_reduced_kkt_inverse_overflow_fallback():
+    """More >n_r scenarios than big_capacity => the whole batch must
+    fall back to the full-size kernel (correctness never depends on the
+    capacity guess)."""
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    patterns = [
+        [True, True, True, True],
+        [True, True, True, False],
+        [True, True, True, True],
+        [True, False, False, True],
+    ]
+    m_b, live = _eliminated_kkt_batch(patterns)
+    out = np.asarray(qpx.reduced_kkt_inverse(
+        m_b, live, n_r=64, big_capacity=2, block=2, small_block=2,
+        interpret=True))   # 3 scenarios exceed n_r=64 > capacity 2
+    m64 = np.asarray(m_b, np.float64)
+    resid = np.abs(np.einsum("bij,bjk->bik", out, m64)
+                   - np.eye(120)).max()
+    assert resid < 5e-3, resid
+
+
+def test_reduced_tick_matches_single_through_contact_flip():
+    """Multi-tick flip-crossing equivalence for kkt_backend='reduced':
+    the reduced-shape schedule (small-kernel + big-bucket + overflow
+    guard all exercised at B=2, capacity 1) must reproduce
+    vmap(control_tick) through the flip bookkeeping."""
+    from a1_qp_mpc_controller_tpu.control.controller import control_tick
+
+    cfg, params = bench_cfg()
+    B = 2
+    pb, cs, mem, sens = batched.make_bench_state(
+        cfg, jax.random.PRNGKey(2), B, params)
+    cs = cs.replace(gait_counter=jnp.broadcast_to(
+        jnp.array([116.0, 236.0, 236.0, 116.0]), (B, 4)))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+
+    cs_a, mem_a = cs, mem
+    cs_b, mem_b = cs, mem
+    flipped = False
+    prev = np.asarray(cs.contacts)
+    for t in range(8):
+        cs_a, mem_a, tq_a = jax.vmap(
+            lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt))(
+            pb, cs_a, mem_a, sens)
+        cs_b, mem_b, tq_b = batched.batched_control_tick(
+            cfg, pb, cs_b, mem_b, sens, joy, dt,
+            admm_backend="pallas_shared", kkt_backend="reduced",
+            kkt_reduced_nr=64, kkt_big_capacity=1,
+            admm_block=2, kkt_block=2, interpret=True)
+        cur = np.asarray(cs_b.contacts)
+        flipped = flipped or (cur != prev).any()
+        prev = cur
+        np.testing.assert_allclose(np.asarray(tq_b), np.asarray(tq_a),
+                                   atol=5e-3,
+                                   err_msg=f"diverged at tick {t}")
+    assert flipped, "test never crossed a contact flip"
+
+
+def test_rescue_pass_improves_convergence_keeps_converged_bits():
+    """Flip-rescue second ADMM pass: at a starved iteration budget some
+    flip-tick scenarios ship unconverged; rescue_capacity>0 must (a) not
+    reduce the converged fraction, (b) leave scenarios that converged in
+    the first pass bit-identical, and (c) improve the worst residual."""
+    cfg, params = bench_cfg()
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=5)   # starved budget
+    B = 4
+    pb, cs, mem, sens = batched.make_bench_state(
+        cfg, jax.random.PRNGKey(3), B, params)
+    cs = cs.replace(gait_counter=jnp.broadcast_to(
+        jnp.array([118.0, 238.0, 238.0, 118.0]), (B, 4)))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+
+    # walk a few ticks to a flip, then compare one tick +/- rescue
+    for _ in range(3):
+        cs, mem, _ = batched.batched_control_tick(
+            cfg, pb, cs, mem, sens, joy, dt,
+            admm_backend="pallas_shared", admm_block=2, kkt_block=2,
+            interpret=True)
+    _, _, tq0, st0 = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt,
+        admm_backend="pallas_shared", admm_block=2, kkt_block=2,
+        return_stats=True, interpret=True)
+    _, _, tq1, st1 = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt,
+        admm_backend="pallas_shared", admm_block=2, kkt_block=2,
+        rescue_capacity=2, rescue_iters=200,
+        return_stats=True, interpret=True)
+    c0 = np.asarray(st0["converged"])
+    c1 = np.asarray(st1["converged"])
+    assert not c0.all(), "budget not starved enough to exercise rescue"
+    assert c1.sum() >= c0.sum()
+    # scenarios converged without rescue are untouched (bit-identical)
+    np.testing.assert_array_equal(np.asarray(tq1)[c0],
+                                  np.asarray(tq0)[c0])
+    r0 = np.maximum(np.asarray(st0["prim_res"]),
+                    np.asarray(st0["dual_res"]))
+    r1 = np.maximum(np.asarray(st1["prim_res"]),
+                    np.asarray(st1["dual_res"]))
+    assert r1[~c0].max() < r0[~c0].max()
