@@ -458,47 +458,53 @@ def reduced_kkt_inverse(m_b: jnp.ndarray, live: jnp.ndarray,
         return batched_inverse(m_b, block=block, interpret=interpret)
 
     n_live = jnp.sum(live, axis=1)                          # (B,)
-    # live-first stable permutation; the first n_r entries index the
-    # reduced system (for n_live < n_r the tail picks up dead columns,
-    # whose junk inverse is masked out below)
-    order = jnp.argsort(jnp.where(live, 0, 1), axis=1,
-                        stable=True)                        # (B, n)
-    idx = order[:, :n_r]                                    # (B, n_r)
-    onehot = jax.nn.one_hot(idx, n, dtype=dtype)            # (B, n_r, n)
-    ke = jnp.einsum("bri,bij->brj", onehot, m_b,
-                    precision=_HIGH)                        # (B, n_r, n)
-    k_red = jnp.einsum("brj,bsj->brs", ke, onehot,
-                       precision=_HIGH)                     # (B,n_r,n_r)
-    l_inv = batched_inverse_small(k_red, block=small_block,
-                                  interpret=interpret)
-    le = jnp.einsum("brs,bsj->brj", l_inv, onehot,
-                    precision=_HIGH)                        # (B, n_r, n)
-    out = jnp.einsum("bri,brj->bij", onehot, le,
-                     precision=_HIGH)                       # (B, n, n)
-    lm = live.astype(dtype)
-    out = out * (lm[:, :, None] * lm[:, None, :])
-    # dead 3x3 diagonal blocks, inverted in closed form and placed back
-    nblk = n // 3
-    m5 = m_b.reshape(b, nblk, 3, nblk, 3)
-    diag_blocks = jnp.einsum("btitj->btij", m5)             # (B,T,3,3)
-    dead_blk = (~live[:, ::3]).astype(dtype)                # (B, T)
-    dinv = _inv3x3_spd(diag_blocks) * dead_blk[:, :, None, None]
-    eye_t = jnp.eye(nblk, dtype=dtype)
-    out = out + (dinv[:, :, :, None, :]
-                 * eye_t[None, :, None, :, None]).reshape(b, n, n)
 
-    # full-size bucket: the big_capacity scenarios with the most live
-    # variables (covers every n_live > n_r scenario unless overflow)
-    _, big_idx = jax.lax.top_k(n_live, big_capacity)
-    big_inv = batched_inverse(jnp.take(m_b, big_idx, axis=0),
-                              block=block, interpret=interpret)
-    out = out.at[big_idx].set(big_inv)
+    def reduced_path():
+        # live-first stable permutation; the first n_r entries index the
+        # reduced system (for n_live < n_r the tail picks up dead
+        # columns, whose junk inverse is masked out below)
+        order = jnp.argsort(jnp.where(live, 0, 1), axis=1,
+                            stable=True)                    # (B, n)
+        idx = order[:, :n_r]                                # (B, n_r)
+        onehot = jax.nn.one_hot(idx, n, dtype=dtype)        # (B,n_r,n)
+        ke = jnp.einsum("bri,bij->brj", onehot, m_b,
+                        precision=_HIGH)                    # (B, n_r, n)
+        k_red = jnp.einsum("brj,bsj->brs", ke, onehot,
+                           precision=_HIGH)                 # (B,n_r,n_r)
+        l_inv = batched_inverse_small(k_red, block=small_block,
+                                      interpret=interpret)
+        le = jnp.einsum("brs,bsj->brj", l_inv, onehot,
+                        precision=_HIGH)                    # (B, n_r, n)
+        out = jnp.einsum("bri,brj->bij", onehot, le,
+                         precision=_HIGH)                   # (B, n, n)
+        lm = live.astype(dtype)
+        out = out * (lm[:, :, None] * lm[:, None, :])
+        # dead 3x3 diagonal blocks, closed-form inverse, placed back
+        nblk = n // 3
+        m5 = m_b.reshape(b, nblk, 3, nblk, 3)
+        diag_blocks = jnp.einsum("btitj->btij", m5)         # (B,T,3,3)
+        dead_blk = (~live[:, ::3]).astype(dtype)            # (B, T)
+        dinv = _inv3x3_spd(diag_blocks) * dead_blk[:, :, None, None]
+        eye_t = jnp.eye(nblk, dtype=dtype)
+        out = out + (dinv[:, :, :, None, :]
+                     * eye_t[None, :, None, :, None]).reshape(b, n, n)
 
+        # full-size bucket: the big_capacity scenarios with the most
+        # live variables (covers every n_live > n_r scenario — the
+        # overflow case takes the other cond branch)
+        _, big_idx = jax.lax.top_k(n_live, big_capacity)
+        big_inv = batched_inverse(jnp.take(m_b, big_idx, axis=0),
+                                  block=block, interpret=interpret)
+        return out.at[big_idx].set(big_inv)
+
+    # all reduced-path work lives INSIDE the cond branch: ticks where
+    # the capacity would overflow (e.g. a stand phase — most scenarios
+    # 4-stance) pay exactly the full-size kernel, nothing more
     overflow = jnp.sum((n_live > n_r).astype(jnp.int32)) > big_capacity
     return jax.lax.cond(
         overflow,
         lambda: batched_inverse(m_b, block=block, interpret=interpret),
-        lambda: out)
+        reduced_path)
 
 
 def newton_schulz_inverse(m_mat: jnp.ndarray, seed: jnp.ndarray,

@@ -216,6 +216,51 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     )(params_b, cs, mem, sol)
 
 
+def batched_closed_loop_step(cfg: A1Config, params_b, terr_b,
+                             carry: "cl.LoopCarry", joy: JoyCmd,
+                             dt: jnp.ndarray, substeps: int = 5,
+                             **tick_kwargs):
+    """One CLOSED-LOOP batched step through the hoisted-solver schedule:
+    vmap(read_sensors) -> batched_control_tick (Pallas shared route) ->
+    vmap(plant_step). Unlike :func:`batched_step` (which vmaps the whole
+    single-scenario tick), the MPC solve runs the batched Pallas kernels.
+
+    This is the throughput-bench unit: with the plant in the loop the
+    contact-pattern distribution is PHYSICAL (a steady trot is 2-stance
+    except brief touchdown overlaps), where a static-sensor state holds
+    every foot force high forever and manufactures synchronized 4-stance
+    windows through the early-contact rule — an artifact that both
+    overstates stance count and never exercises flip dynamics."""
+    sensors = jax.vmap(
+        lambda p, ps, pv: plant_mod.read_sensors(p, ps, pv, dt)
+    )(params_b, carry.ps, carry.prev_root_lin_vel)
+    out = batched_control_tick(cfg, params_b, carry.cs, carry.mem,
+                               sensors, joy, dt, **tick_kwargs)
+    cs, mem, tq = out[:3]
+    prev = carry.ps.root_lin_vel
+    ps = jax.vmap(
+        lambda p, t, s, q: plant_mod.plant_step(p, t, s, q, dt, substeps)
+    )(params_b, terr_b, carry.ps, tq)
+    new_carry = cl.LoopCarry(cs=cs, mem=mem, ps=ps,
+                             prev_root_lin_vel=prev)
+    if len(out) > 3:
+        return new_carry, out[3]
+    return new_carry
+
+
+def make_flat_batch(cfg: A1Config, key: jax.Array, n: int,
+                    base: RobotParams):
+    """Domain-randomized params + flat terrain + standing-start carry:
+    the closed-loop throughput-bench batch (BASELINE's 10 s flat trot
+    config, scenario-parallel)."""
+    params = randomize_params(key, n, base)
+    terr = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n,)), terrain_mod.Terrain.flat())
+    carry = jax.vmap(
+        lambda p, t: cl.make_standing_start(cfg, p, t))(params, terr)
+    return params, terr, carry
+
+
 def make_bench_state(cfg: A1Config, key: jax.Array, n: int,
                      base: RobotParams):
     """A PHYSICAL batched controller state for throughput benchmarking:

@@ -59,9 +59,30 @@ def host_chip_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(mesh.axis_names))
 
 
-def multihost_init() -> None:
-    """Initialize jax.distributed when launched across hosts (no-op in a
-    single-process environment)."""
+def multihost_init(coordinator_address: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed for a multi-host run.
+
+    With explicit arguments (coordinator ``host:port``, process count,
+    process id) this MUST succeed — a bad cluster config raises. With no
+    arguments it attempts environment auto-detection (TPU pods populate
+    the cluster env) and silently no-ops in a single-process
+    environment. On CPU the cross-process collective implementation is
+    gloo (set before init; exercised for real by
+    tests/test_distributed.py, 2 processes x 4 virtual devices)."""
+    if coordinator_address is not None:
+        # NOTE: must not touch the backend before initialize() (even
+        # jax.default_backend() would initialize XLA) — inspect the
+        # configured platform string instead
+        platforms = jax.config.jax_platforms or ""
+        if platforms.split(",")[0] == "cpu":
+            jax.config.update("jax_cpu_collectives_implementation",
+                              "gloo")
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+        return
     try:
         jax.distributed.initialize()
     except (RuntimeError, ValueError):
