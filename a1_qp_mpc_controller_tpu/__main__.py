@@ -16,6 +16,30 @@ import json
 import sys
 
 
+def _assert_time_source(cfg, profile: str, executor: str,
+                        override: bool) -> None:
+    """Startup precondition parity: the reference's sim mains refuse to
+    run unless /use_sim_time is true (MainGazebo.cpp:31-37) and the
+    hardware main refuses unless it is false (MainHardware.cpp:30-37) —
+    a profile tuned for the wrong time source integrates the MPC with
+    the wrong dt (the hardware pin exists because a slowed thread once
+    produced over-current forces, A1RobotControl.cpp:458-467). Executors
+    that advance simulated time ('sim', 'batch', 'golden') require
+    use_sim_time profiles; wall-clock executors ('realtime', 'wire')
+    require hardware (use_sim_time=false) profiles."""
+    wants_sim = executor in ("sim", "batch", "golden")
+    if cfg.use_sim_time != wants_sim and not override:
+        kind = "simulated-time" if wants_sim else "wall-clock"
+        raise SystemExit(
+            f"startup precondition: '{executor}' is a {kind} executor "
+            f"but profile '{profile}' has use_sim_time="
+            f"{cfg.use_sim_time} (reference parity: MainGazebo.cpp:31-37"
+            f" / MainHardware.cpp:30-37). Pass a matching profile or "
+            f"--override-sim-time-check to proceed anyway (the runners "
+            f"here drive simulated robots, so the override is safe in "
+            f"this environment).")
+
+
 def _parse_terrain(spec: str):
     from a1_qp_mpc_controller_tpu.sim import terrain as tr
     if spec == "flat":
@@ -34,6 +58,8 @@ def cmd_sim(args) -> None:
     from a1_qp_mpc_controller_tpu.runtime import telemetry
     from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
     cfg, params = load_profile(args.profile)
+    _assert_time_source(cfg, args.profile, "sim",
+                        args.override_sim_time_check)
     cfg = dataclasses.replace(cfg, mpc_qp_iters=args.mpc_iters,
                               mpc_solver_mode=args.solver_mode)
     terrain = _parse_terrain(args.terrain)
@@ -58,9 +84,12 @@ def cmd_sim(args) -> None:
 
 
 def cmd_realtime(args) -> None:
+    from a1_qp_mpc_controller_tpu.config import load_profile
     from a1_qp_mpc_controller_tpu.runtime.realtime import RealtimeRunner
     from a1_qp_mpc_controller_tpu.types import JoyCmd
     import jax.numpy as jnp
+    _assert_time_source(load_profile(args.profile)[0], args.profile,
+                        "realtime", args.override_sim_time_check)
     runner = RealtimeRunner(profile=args.profile,
                             mpc_iters=args.mpc_iters,
                             solver_mode=args.solver_mode,
@@ -80,6 +109,8 @@ def cmd_batch(args) -> None:
     from a1_qp_mpc_controller_tpu.parallel import batched, mesh as meshmod
     from a1_qp_mpc_controller_tpu.sim import closed_loop as cl
     cfg, params = load_profile(args.profile)
+    _assert_time_source(cfg, args.profile, "batch",
+                        args.override_sim_time_check)
     cfg = dataclasses.replace(cfg, mpc_qp_iters=args.mpc_iters,
                               mpc_solver_mode="fixed")
     mesh = meshmod.make_mesh()
@@ -96,7 +127,10 @@ def cmd_batch(args) -> None:
 
 
 def cmd_golden(args) -> None:
+    from a1_qp_mpc_controller_tpu.config import load_profile
     from a1_qp_mpc_controller_tpu.runtime.golden import run_gate
+    _assert_time_source(load_profile(args.profile)[0], args.profile,
+                        "golden", args.override_sim_time_check)
     rep = run_gate(seconds=args.seconds, sample_every=args.sample_every,
                    velx=args.velx, terrain=_parse_terrain(args.terrain))
     print(json.dumps(rep, indent=2))
@@ -117,6 +151,8 @@ def cmd_wire(args) -> None:
     from a1_qp_mpc_controller_tpu.types import JoyCmd
 
     cfg, params = load_profile(args.profile)
+    _assert_time_source(cfg, args.profile, "wire",
+                        args.override_sim_time_check)
     cfg = _dc.replace(cfg, mpc_qp_iters=args.mpc_iters,
                       mpc_solver_mode=args.solver_mode)
     mock = wire.MockA1Robot(params, _parse_terrain(args.terrain))
@@ -152,6 +188,10 @@ def main() -> None:
         sp.add_argument("--velx", type=float, default=0.3)
         sp.add_argument("--seconds", type=float, default=5.0)
         sp.add_argument("--terrain", default="flat")
+        sp.add_argument("--override-sim-time-check", action="store_true",
+                        help="bypass the use_sim_time/executor "
+                             "consistency refusal (reference parity: "
+                             "MainGazebo.cpp:31-37)")
 
     ps = sub.add_parser("sim", help="closed-loop rollout")
     common(ps)
@@ -170,7 +210,8 @@ def main() -> None:
     pr.add_argument("--sensor-rate-ekf", action="store_true",
                     help="run the EKF at the 500 Hz sensor rate (the "
                          "reference's hardware receive-thread schedule)")
-    pr.set_defaults(fn=cmd_realtime, mpc_iters=50, solver_mode="fixed")
+    pr.set_defaults(fn=cmd_realtime, mpc_iters=50, solver_mode="fixed",
+                    profile="hardware_qp")  # wall-clock executor
 
     pb = sub.add_parser("batch", help="domain-randomized batched rollout")
     common(pb)
@@ -188,7 +229,7 @@ def main() -> None:
                                      "loopback mock robot")
     common(pw)
     pw.set_defaults(fn=cmd_wire, mpc_iters=50, solver_mode="fixed",
-                    seconds=1.0)
+                    seconds=1.0, profile="hardware_qp")  # wall-clock
 
     args = p.parse_args()
     if args.cpu:

@@ -110,6 +110,13 @@ class A1Config:
     mpc_qp_iters: int = 100
     stand_qp_iters: int = 100
     qp_check_every: int = 25
+    # fixed mode only: when > 0, an unconverged solve gets this many
+    # EXTRA warm-started iterations (single-scenario: a lax.cond second
+    # pass; batched executors implement the same contract with a
+    # gathered rescue pass, parallel.batched rescue_capacity). Flip
+    # ticks are where a fixed budget falls short; the rescue closes
+    # them without paying on calm ticks.
+    mpc_rescue_iters: int = 0
     # 'adaptive': early-exit while_loop with in-solve rho adaptation (lowest
     # latency single-scenario). 'fixed': lock-step fixed-iteration solve
     # with cross-tick warm-start + rho carry (batched throughput path).

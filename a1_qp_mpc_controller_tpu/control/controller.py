@@ -96,6 +96,37 @@ def control_tick_finish(cfg: A1Config, params: RobotParams, cs: CtrlState,
     return cs, mem, cs.joint_torques
 
 
+def control_tick_build_qp(cfg: A1Config, params: RobotParams,
+                          cs: CtrlState, mem: CtrlMem,
+                          sensors: SensorData, joy: JoyCmd,
+                          dt: jnp.ndarray):
+    """Everything before the stand-QP solve; returns (cs, mem,
+    StandQpProblem). QP profiles only — the stand-QP analog of
+    :func:`control_tick_build`, letting batched executors run the
+    12-var solve lock-step with a gathered flip rescue."""
+    assert cfg.stance_leg_control_type == 0, "build_qp is stand-QP-only"
+    cs, mem = ingest_sensors(cfg, params, cs, mem, sensors)
+    if not cfg.use_estimator:
+        cs = cs.replace(root_pos=sensors.root_pos,
+                        root_lin_vel=sensors.root_lin_vel)
+    cs = fsm.joystick_update(cfg, params, cs, joy, dt)
+    cs = gait.update_plan(cfg, params, cs, dt)
+    cs, mem = swing.generate_swing_legs_ctrl(cfg, params, cs, mem, dt)
+    if cfg.use_estimator:
+        ekf, cs = estimator.step(cfg, params, cs, mem.ekf, dt)
+        mem = mem.replace(ekf=ekf)
+    prob = grf.stand_qp_problem(cfg, params, cs, mem)
+    return cs, mem, prob
+
+
+def control_tick_finish_qp(cfg: A1Config, params: RobotParams,
+                           cs: CtrlState, mem: CtrlMem, sol):
+    """Apply an externally computed stand-QP solution and map torques."""
+    cs, mem = grf.stand_qp_apply(cfg, cs, mem, sol)
+    cs, mem = torque.compute_joint_torques(cfg, params, cs, mem)
+    return cs, mem, cs.joint_torques
+
+
 # --- sensor-rate estimation split (hardware schedule) ---------------------
 # The reference's hardware stack runs the EKF inside the 500 Hz UDP
 # receive thread (HardwareA1ROS.cpp:336-341, HARDWARE_FEEDBACK_FREQUENCY

@@ -159,64 +159,31 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                 ) -> Tuple[CtrlState, CtrlMem]:
     """The per-tick stance-force solve. Returns body-frame GRFs in
     ``cs.foot_forces_grf`` and updated solver memory."""
-    dtype = cs.root_pos.dtype
-
     if cfg.stance_leg_control_type == 1:
         cs, mem = terrain_adaptation(cfg, cs, mem)
 
     if cfg.stance_leg_control_type == 0:
-        # --- stand QP path (A1RobotControl.cpp:377-431).
-        # Swing-leg variables are eliminated (same mask trick as the MPC,
-        # srb.eliminate_swing): with legs out of contact the reference's
-        # contact-gated bounds become equality pins that wreck the ADMM
-        # conditioning; elimination leaves the identical optimum with no
-        # equality rows. Row layout here: 4 Fz rows then 4x4 pyramid rows.
-        p_mat, q_vec = stand_qp_matrices(params, cs)
-        a_mat, lb, ub = stand_qp_constraints(params, cs)
-        s_var = jnp.repeat(cs.contacts, 3)                   # (12,)
-        sf = s_var.astype(dtype)
-        p_mat = p_mat * (sf[:, None] * sf[None, :]) + jnp.diag(1.0 - sf)
-        q_vec = q_vec * sf
-        row_mask = jnp.concatenate([cs.contacts,
-                                    jnp.repeat(cs.contacts, 4)])  # (20,)
-        inf = jnp.asarray(jnp.inf, dtype)
-        lb = jnp.where(row_mask, lb, -inf)
-        ub = jnp.where(row_mask, ub, inf)
-        if cfg.mpc_solver_mode == "fixed":
-            # batched throughput mode: warm-started + rho carry, but the
-            # SOLVER stays the adaptive solve-to-tolerance ADMM (the
-            # reference's OSQP runs to tolerance every tick,
-            # A1RobotControl.cpp:428): at n=12 the while_loop's
-            # refactorizations are unrolled 12x12 GJ inverses and under
-            # vmap the loop is lock-step-bounded by max_iter anyway. A
-            # pure fixed budget was measured to stall at contact flips
-            # (~20 N transients at 100-300 iterations; the kappa ~1e6
-            # family's flip-tick active-set discovery wants both rho
-            # adaptation and a variable iteration count).
-            flip = cs.contacts != mem.qp_prev_contacts
-            keep_v = jnp.repeat(~flip, 3) & s_var
-            keep_r = jnp.concatenate([~flip, jnp.repeat(~flip, 4)]
-                                     ) & row_mask
-            wx = jnp.where(keep_v, mem.qp_warm_x, 0.0)
-            wy = jnp.where(keep_r, mem.qp_warm_y, 0.0)
-            rho0 = jnp.where(jnp.any(flip), jnp.asarray(_QP_RHO0, dtype),
-                             mem.qp_rho)
-            sol = qpx.admm_solve(
-                p_mat, q_vec, a_mat, lb, ub,
-                qpx.QPSettings(rho=_QP_RHO0, eps_abs=1e-4, eps_rel=1e-4,
-                               max_iter=cfg.stand_qp_iters * 10,
-                               check_every=cfg.qp_check_every),
-                x0=wx, y0=wy, rho0=rho0)
-            mem = mem.replace(qp_warm_x=sol.x, qp_warm_y=sol.y,
-                              qp_prev_contacts=cs.contacts,
-                              qp_rho=jnp.clip(sol.rho, 1e-3, 1.0))
-        else:
-            sol = qpx.admm_solve(
-                p_mat, q_vec, a_mat, lb, ub,
-                qpx.QPSettings(rho=_QP_RHO0, eps_abs=1e-4, eps_rel=1e-4,
-                               max_iter=cfg.stand_qp_iters * 10,
-                               check_every=cfg.qp_check_every))
-        forces_world = sol.x.reshape(NUM_LEG, 3)
+        # --- stand QP path (A1RobotControl.cpp:377-431); the build /
+        # solve / apply split lives in stand_qp_problem /
+        # stand_qp_apply so batched executors can swap the solver core
+        # (parallel.batched.batched_stand_control_tick).
+        prob = stand_qp_problem(cfg, params, cs, mem)
+        # adaptive solve-to-tolerance core (the reference's OSQP runs
+        # to tolerance every tick, A1RobotControl.cpp:428): at n=12 the
+        # while_loop's refactorizations are unrolled 12x12 GJ inverses.
+        # A pure fixed budget was measured to stall at contact flips
+        # (~20 N transients at 100-300 iterations; the kappa ~1e6
+        # family's flip-tick active-set discovery wants both rho
+        # adaptation and a variable iteration count) — the batched
+        # lock-step route therefore pairs a fixed budget with a
+        # gathered adaptive RESCUE of flip scenarios.
+        sol = qpx.admm_solve(
+            prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
+            qpx.QPSettings(rho=_QP_RHO0, eps_abs=1e-4, eps_rel=1e-4,
+                           max_iter=cfg.stand_qp_iters * 10,
+                           check_every=cfg.qp_check_every),
+            x0=prob.warm_x, y0=prob.warm_y, rho0=prob.rho0)
+        return stand_qp_apply(cfg, cs, mem, sol)
     else:
         # --- convex MPC path (A1RobotControl.cpp:446-561)
         prob = mpc_problem(cfg, params, cs, mem, dt)
@@ -229,6 +196,29 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                 cfg.mpc_qp_iters, qpx.QPSettings(rho=_MPC_RHO0),
                 x0=prob.warm_x, y0=prob.warm_y, rho0=prob.rho0,
                 scaling=scal)
+            if cfg.mpc_rescue_iters > 0:
+                # flip-rescue: unconverged (or flip-tick) solves
+                # continue warm-started for extra iterations at a
+                # REFACTORED stepsize — the first pass's rho estimate.
+                # Measured (round 4): stalled solves are primal-
+                # dominant (rp ~ 0.1-1 with rd ~ 1e-6) because the
+                # carried rho lags the instance by 2-3x; the refactor
+                # is exactly OSQP's adaptive-rho move, paid only on
+                # rescued ticks. Single-scenario form of the batched
+                # gathered rescue (parallel.batched rescue_capacity).
+                def _rescue(s):
+                    rho_r = jnp.clip(s.rho, 0.1 * _MPC_RHO0,
+                                     100.0 * _MPC_RHO0)
+                    return qpx.admm_solve_fixed(
+                        prob.p_mat, prob.q_vec, prob.a_mat, prob.lb,
+                        prob.ub, cfg.mpc_rescue_iters,
+                        qpx.QPSettings(rho=_MPC_RHO0), x0=s.x, y0=s.y,
+                        rho0=rho_r, scaling=scal)
+
+                # flip ticks are rescued even when nominally converged
+                # (the loose relative tolerance admits a few N there)
+                sol = jax.lax.cond(sol.converged & ~prob.flipped,
+                                   lambda s: s, _rescue, sol)
         else:
             sol = qpx.admm_solve(
                 prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
@@ -239,8 +229,81 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                 scaling=scal)
         return mpc_apply_solution(cfg, cs, mem, sol)
 
-    # world -> body frame + per-leg NaN guard
-    # (A1RobotControl.cpp:439-444, 555-561)
+
+class StandQpProblem(struct.PyTreeNode):
+    """One tick's 12-var stand QP + warm-start data. Produced by
+    :func:`stand_qp_problem`, consumed by a solver, finished by
+    :func:`stand_qp_apply` — the split lets batched executors run a
+    lock-step fixed-budget solve with a gathered flip rescue
+    (parallel.batched.batched_stand_control_tick)."""
+
+    p_mat: jnp.ndarray   # (12,12)
+    q_vec: jnp.ndarray   # (12,)
+    a_mat: jnp.ndarray   # (20,12)
+    lb: jnp.ndarray      # (20,)
+    ub: jnp.ndarray      # (20,)
+    warm_x: jnp.ndarray  # (12,)
+    warm_y: jnp.ndarray  # (20,)
+    rho0: jnp.ndarray    # ()
+
+
+def stand_qp_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
+                     mem: CtrlMem) -> StandQpProblem:
+    """Build the tick's stand QP (A1RobotControl.cpp:377-431) with
+    swing-leg variable elimination and (fixed mode) flip-masked warm
+    start + cross-tick rho carry.
+
+    Swing elimination: same mask trick as the MPC (srb.eliminate_swing)
+    — with legs out of contact the reference's contact-gated bounds
+    become equality pins that wreck the ADMM conditioning; elimination
+    leaves the identical optimum with no equality rows. Row layout: 4
+    Fz rows then 4x4 pyramid rows."""
+    dtype = cs.root_pos.dtype
+    p_mat, q_vec = stand_qp_matrices(params, cs)
+    a_mat, lb, ub = stand_qp_constraints(params, cs)
+    s_var = jnp.repeat(cs.contacts, 3)                   # (12,)
+    sf = s_var.astype(dtype)
+    p_mat = p_mat * (sf[:, None] * sf[None, :]) + jnp.diag(1.0 - sf)
+    q_vec = q_vec * sf
+    row_mask = jnp.concatenate([cs.contacts,
+                                jnp.repeat(cs.contacts, 4)])  # (20,)
+    inf = jnp.asarray(jnp.inf, dtype)
+    lb = jnp.where(row_mask, lb, -inf)
+    ub = jnp.where(row_mask, ub, inf)
+    if cfg.mpc_solver_mode == "fixed":
+        # warm start + rho carry on calm ticks; COLD restart (zero
+        # x/y, rho re-seed) on any contact flip. Measured (round 4,
+        # dense per-tick golden sampling): a flip-tick solve continued
+        # from the surviving legs' warm iterates satisfies the 1e-4
+        # relative tolerances ~10 N away from the optimum (the carried
+        # duals encode the old active set), while a cold solve of the
+        # same instance reaches 0.1 N in ~50 iterations — at n=12 the
+        # warm start saves nothing worth that failure mode.
+        any_flip = jnp.any(cs.contacts != mem.qp_prev_contacts)
+        keep_v = (~any_flip) & s_var
+        keep_r = (~any_flip) & row_mask
+        warm_x = jnp.where(keep_v, mem.qp_warm_x, 0.0)
+        warm_y = jnp.where(keep_r, mem.qp_warm_y, 0.0)
+        rho0 = jnp.where(any_flip, jnp.asarray(_QP_RHO0, dtype),
+                         mem.qp_rho)
+    else:
+        warm_x = jnp.zeros_like(q_vec)
+        warm_y = jnp.zeros_like(lb)
+        rho0 = jnp.asarray(_QP_RHO0, dtype)
+    return StandQpProblem(p_mat=p_mat, q_vec=q_vec, a_mat=a_mat, lb=lb,
+                          ub=ub, warm_x=warm_x, warm_y=warm_y, rho0=rho0)
+
+
+def stand_qp_apply(cfg: A1Config, cs: CtrlState, mem: CtrlMem,
+                   sol) -> Tuple[CtrlState, CtrlMem]:
+    """Store stand-QP warm-start memory (fixed mode) and map the solved
+    world-frame forces into body frame with the per-leg NaN guard
+    (A1RobotControl.cpp:439-444)."""
+    if cfg.mpc_solver_mode == "fixed":
+        mem = mem.replace(qp_warm_x=sol.x, qp_warm_y=sol.y,
+                          qp_prev_contacts=cs.contacts,
+                          qp_rho=jnp.clip(sol.rho, 1e-3, 1.0))
+    forces_world = sol.x.reshape(NUM_LEG, 3)
     forces_body = jnp.einsum("ba,lb->la", cs.root_rot_mat, forces_world)
     bad = jnp.isnan(jnp.sum(forces_body, axis=1))
     forces_body = jnp.where(bad[:, None], cs.foot_forces_grf, forces_body)
@@ -265,6 +328,11 @@ class MpcProblem(struct.PyTreeNode):
     warm_x: jnp.ndarray  # (120,)
     warm_y: jnp.ndarray  # (200,)
     rho0: jnp.ndarray    # ()
+    flipped: jnp.ndarray  # () bool — any contact flip this tick (flip
+    #                        ticks are rescue-eligible even when the
+    #                        loose relative tolerance reports converged:
+    #                        measured up to ~5 N force deviation at
+    #                        "converged" flip solves, round 4)
 
 
 def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
@@ -360,8 +428,22 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
     warm_x = (wx2 * scale[:, None, None]).reshape(-1)
     rho0 = jnp.where(jnp.any(leg_flip),
                      jnp.asarray(_MPC_RHO0, dtype), rho0)
+    flipped = jnp.any(leg_flip) & mem.mpc_warm_started
+    if cfg.mpc_solver_mode != "fixed":
+        # adaptive mode: COLD restart on flip ticks. Measured (round 4,
+        # dense per-tick golden sampling): the masked+rescaled warm
+        # start can satisfy the relative tolerances ~5 N from the
+        # optimum at a flip, while a cold solve of the same instance
+        # converges to ~0.2 N in ~100 adaptive iterations — the
+        # early-exit while_loop absorbs the extra iterations only on
+        # the flip tick. (The fixed-budget mode keeps the rescaled warm
+        # start — 25 cold iterations are NOT enough — and closes flips
+        # with the rescue pass instead.)
+        warm_x = jnp.where(flipped, 0.0, warm_x)
+        warm_y = jnp.where(flipped, 0.0, warm_y)
     return MpcProblem(p_mat=p_mat, q_vec=q_vec, a_mat=a_mat, lb=lb, ub=ub,
-                      warm_x=warm_x, warm_y=warm_y, rho0=rho0)
+                      warm_x=warm_x, warm_y=warm_y, rho0=rho0,
+                      flipped=flipped)
 
 
 def mpc_apply_solution(cfg: A1Config, cs: CtrlState, mem: CtrlMem,

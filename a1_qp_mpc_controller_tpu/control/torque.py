@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from a1_qp_mpc_controller_tpu.config import A1Config, RobotParams
 from a1_qp_mpc_controller_tpu.types import CtrlMem, CtrlState
+from a1_qp_mpc_controller_tpu.utils import mathx
 
 
 def compute_joint_torques(cfg: A1Config, params: RobotParams, cs: CtrlState,
@@ -22,7 +23,7 @@ def compute_joint_torques(cfg: A1Config, params: RobotParams, cs: CtrlState,
     jacs = cs.j_foot  # (4,3,3)
     stance_tau = jnp.einsum("lba,lb->la", jacs, -cs.foot_forces_grf)
     swing_force = params.km_foot[None, :] * cs.foot_forces_kin
-    swing_tau = jnp.linalg.solve(jacs, swing_force[..., None])[..., 0]
+    swing_tau = mathx.solve3(jacs, swing_force)
     tau = jnp.where(cs.contacts[:, None], stance_tau, swing_tau).reshape(12)
     tau = tau + params.torques_gravity
 

@@ -30,6 +30,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from a1_qp_mpc_controller_tpu.utils import mathx
+
 
 def fk(q: jnp.ndarray, rho_opt: jnp.ndarray, rho_fix: jnp.ndarray
        ) -> jnp.ndarray:
@@ -111,7 +113,7 @@ def ik(p_target: jnp.ndarray, rho_opt: jnp.ndarray, rho_fix: jnp.ndarray,
         J = jac(q, rho_opt, rho_fix)
         # Levenberg damping keeps the iteration stable near singularities
         JtJ = J.T @ J + 1e-6 * jnp.eye(3, dtype=q.dtype)
-        dq = jnp.linalg.solve(JtJ, J.T @ err)
+        dq = mathx.solve3(JtJ, J.T @ err)
         return q + dq, None
 
     q, _ = jax.lax.scan(body, q0, None, length=iters)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from a1_qp_mpc_controller_tpu.config import (
     MPC_STATE_DIM, NUM_DOF, NUM_LEG, PLAN_HORIZON,
 )
+from a1_qp_mpc_controller_tpu.utils import mathx
 from a1_qp_mpc_controller_tpu.utils.mathx import skew
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -63,7 +64,7 @@ def continuous_b(robot_mass: jnp.ndarray, trunk_inertia: jnp.ndarray,
     body-centered foot positions."""
     dtype = foot_pos.dtype
     inertia_world = root_rot_mat @ trunk_inertia @ root_rot_mat.T
-    inv_inertia = jnp.linalg.inv(inertia_world)
+    inv_inertia = mathx.inv3(inertia_world)
     b = jnp.zeros((MPC_STATE_DIM, NUM_DOF), dtype)
     torque_blocks = jnp.einsum("ab,lbc->lac", inv_inertia, skew(foot_pos),
                                precision=_HIGH)  # (4,3,3)
@@ -208,23 +209,16 @@ def friction_constraint_basis(horizon: int = PLAN_HORIZON,
     with A0/A1 CONSTANT (no scenario dependence). Lets batched executors
     express every A-product as a scenario-rows x shared-matrix MXU matmul
     and skip materializing the (H*20, H*12) matrix per scenario."""
-    one = jnp.ones((), dtype)
-    zero = jnp.zeros((), dtype)
-    base_block = jnp.stack([
-        jnp.stack([one, zero, zero]),
-        jnp.stack([one, zero, zero]),
-        jnp.stack([zero, one, zero]),
-        jnp.stack([zero, one, zero]),
-        jnp.stack([zero, zero, one]),
-    ])  # (5,3)
-    mu_block = jnp.stack([
-        jnp.stack([zero, zero, one]),
-        jnp.stack([zero, zero, -one]),
-        jnp.stack([zero, zero, one]),
-        jnp.stack([zero, zero, -one]),
-        jnp.stack([zero, zero, zero]),
-    ])
-    n_blk = horizon * NUM_LEG
+    return friction_constraint_basis_nblk(horizon * NUM_LEG, dtype)
+
+
+def friction_constraint_basis_nblk(n_blk: int, dtype=jnp.float32):
+    """:func:`friction_constraint_basis` for an arbitrary number of
+    (step, leg) blocks — the constraint structure is n_blk identical
+    (5, 3) blocks down the diagonal, so a CONTACT-PATTERN-REDUCED system
+    (stance blocks gathered in block order) has exactly the same shared
+    basis at its reduced block count."""
+    base_block, mu_block = friction_basis_blocks(dtype)
     idx = jnp.arange(n_blk)
 
     def expand(block):

@@ -1256,7 +1256,12 @@ def _fused_admm_shared_kernel(a0_ref, a1_ref, minv_ref, d_ref,
     """
     a0 = a0_ref[:]           # (M, n) shared
     a1 = a1_ref[:]           # (M, n) shared
-    m = minv_ref[:]          # (S, n, n) symmetric KKT inverse
+    m = minv_ref[:]          # (S, n_rows, n) symmetric KKT inverse:
+    #                          rows padded only to the 8-sublane granule
+    #                          (not the 128-lane width) — the x-update
+    #                          reduce below is the kernel's largest
+    #                          whole-block VPU op and runs over the rows
+    n_rows = m.shape[1]
     d = d_ref[:]             # (S, n)
     e = e_ref[:]             # (S, M)
     me = me_ref[:]           # (S, M)  = mu * e
@@ -1285,7 +1290,10 @@ def _fused_admm_shared_kernel(a0_ref, a1_ref, minv_ref, d_ref,
                                      preferred_element_type=f32,
                                      precision=hi))
         rhs = sigma * x - q + d * atw                          # (S,n)
-        xt = jnp.sum(m * rhs[:, :, None], axis=1)              # sym Minv
+        # symmetric Minv x-update: sum_i minv[i, j] rhs[i] over the
+        # (possibly sublane-only-padded) row extent; padded minv COLS
+        # are zero so xt's padding stays exactly 0
+        xt = jnp.sum(m * rhs[:, :n_rows, None], axis=1)
         x1 = alpha * xt + (1.0 - alpha) * x
         xd = d * xt
         ax = (e * jax.lax.dot_general(xd, a0, contract_n,
@@ -1346,7 +1354,8 @@ def fused_admm_shared(a0: jnp.ndarray, a1: jnp.ndarray, minv: jnp.ndarray,
 
     a0_p = pad_shared(a0)
     a1_p = pad_shared(a1)
-    minv_p = pad3(minv, n_pad, n_pad)
+    n_rows = _round_up(n, 8)        # sublane granule, not lane width
+    minv_p = pad3(minv, n_rows, n_pad)
     d_p = pad2(d, n_pad)
     e_p = pad2(e, m_pad)
     me_p = pad2(mu[:, None] * e, m_pad)
@@ -1377,7 +1386,7 @@ def fused_admm_shared(a0: jnp.ndarray, a1: jnp.ndarray, minv: jnp.ndarray,
             jax.ShapeDtypeStruct((b_pad, m_pad), dtype),
         ),
         grid=grid,
-        in_specs=[shared_spec, shared_spec, spec3(n_pad, n_pad),
+        in_specs=[shared_spec, shared_spec, spec3(n_rows, n_pad),
                   spec2(n_pad), spec2(m_pad), spec2(m_pad),
                   spec2(n_pad), spec2(m_pad), spec2(m_pad), spec2(m_pad),
                   spec2(n_pad), spec2(m_pad), spec2(m_pad)],

@@ -89,6 +89,22 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
             p, q, grf.scaling_for_contacts(t, c))
     )(mem.mpc_scaling_table, cs.contacts, prob.p_mat, prob.q_vec)
 
+    if admm_backend == "pallas_shared" and kkt_backend == "reduced_admm":
+        sol = _reduced_shared_solve(
+            cfg, prob, scal, params_b.mu_mpc, cs.contacts,
+            settings, reduced_blocks=max(2, (kkt_reduced_nr + 2) // 3),
+            big_capacity=kkt_big_capacity, admm_block=admm_block,
+            kkt_block=kkt_block, rescue_capacity=rescue_capacity,
+            rescue_iters=rescue_iters, interpret=interpret)
+        out = jax.vmap(
+            lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)
+        )(params_b, cs, mem, sol)
+        if return_stats:
+            stats = {"converged": sol.converged,
+                     "prim_res": sol.prim_res, "dual_res": sol.dual_res}
+            return out + (stats,)
+        return out
+
     if admm_backend == "pallas_shared":
         # fully shared-structure route: per-scenario constraint matrices
         # are never materialized; KKT assembly is one batched GEMM, the
@@ -151,8 +167,9 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
             # inverse — the rescue reuses rho0, so no refactorization),
             # and scatter back. Already-converged scenarios keep their
             # bit-identical first-pass solution.
-            score = jnp.where(sol.converged, 0.0,
-                              jnp.maximum(sol.prim_res, sol.dual_res))
+            need = (~sol.converged) | prob.flipped
+            score = need.astype(prob.q_vec.dtype) * (
+                1.0 + jnp.maximum(sol.prim_res, sol.dual_res))
             cap = min(rescue_capacity, score.shape[0])
             _, ridx = jax.lax.top_k(score, cap)
             take = lambda t: jax.tree_util.tree_map(
@@ -169,7 +186,7 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
                 jnp.take(prob.rho0, ridx, axis=0), take(scal),
                 jnp.take(minv, ridx, axis=0), block=admm_block,
                 interpret=interpret)
-            unconv = ~jnp.take(sol.converged, ridx, axis=0)
+            unconv = jnp.take(need, ridx, axis=0)
 
             def merge(orig, new):
                 keep = unconv.reshape((cap,) + (1,) * (new.ndim - 1))
@@ -178,7 +195,8 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
                 return orig.at[ridx].set(patched)
 
             sol = jax.tree_util.tree_map(merge, sol, sol_r)
-            rescued = jnp.zeros(score.shape[0], bool).at[ridx].set(unconv)
+            rescued = jnp.zeros(score.shape[0], bool).at[ridx].set(
+                unconv)
             sol = sol.replace(iters=cfg.mpc_qp_iters + jnp.where(
                 rescued, rescue_iters, 0).astype(jnp.int32))
         out = jax.vmap(
@@ -214,6 +232,242 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     return jax.vmap(
         lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)
     )(params_b, cs, mem, sol)
+
+
+def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
+                          settings, *, reduced_blocks: int,
+                          big_capacity: int, admm_block: int,
+                          kkt_block: int, rescue_capacity: int,
+                          rescue_iters: int, interpret: bool):
+    """Contact-pattern-reduced WHOLE-SOLVE route: both the KKT inverse
+    and the fused-ADMM iterations run at the gathered stance-block shape
+    (trot: 22 blocks = 66 vars / 110 rows instead of 40 / 120 / 200).
+
+    Why this is exact (not approximate): the swing-eliminated family's
+    dead (swing) variables have zero cost coupling, unit P diagonal,
+    zero q, and loosened rows, and the constraint matrix is
+    block-diagonal with IDENTICAL (5,3) blocks — so (a) gathering live
+    blocks in block order preserves the shared constraint basis at the
+    reduced block count (srb.friction_constraint_basis_nblk), and (b) a
+    dead variable warm-started at 0 stays EXACTLY 0 through every ADMM
+    iteration (its rhs is identically zero), so dropping it changes no
+    iterate of the live variables. Batched-vs-single equivalence is
+    therefore tight, not tolerance-level.
+
+    Scenarios with more live blocks than ``reduced_blocks`` (3-4 stance)
+    overflow-guard exactly like ops/qp.reduced_kkt_inverse: if more than
+    ``big_capacity`` such scenarios exist this tick, the whole batch
+    takes the full-size path (lax.cond).
+
+    The rescue pass (``rescue_capacity`` > 0) gathers scenarios that are
+    unconverged OR contact-flipped (a flip solve can satisfy the loose
+    relative tolerance several N from the optimum — measured round 4)
+    and continues their solve for ``rescue_iters`` more iterations at a
+    REFACTORED stepsize: the first pass's per-scenario rho estimate is
+    the information OSQP's adaptive rho would have used, and the
+    reduced-shape refactor costs one small-kernel inverse over the
+    gathered subset only.
+    """
+    from a1_qp_mpc_controller_tpu.models import srb
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import (
+        batched_inverse, batched_inverse_small,
+    )
+
+    b, n = prob.q_vec.shape
+    m_rows = prob.lb.shape[1]
+    h = cfg.horizon
+    dtype = prob.q_vec.dtype
+    nblk = n // 3
+    n_rb = min(reduced_blocks, nblk)
+    base_blk, slope_blk = srb.friction_basis_blocks(dtype)
+    a0f, a1f = srb.friction_constraint_basis(h, dtype)
+    iters = cfg.mpc_qp_iters
+
+    live_blk = jnp.tile(contacts, (1, h))            # (B, 4H) step-major
+    n_live_blk = jnp.sum(live_blk, axis=1)
+
+    def run_rescue(sol, p_of, q_of, l_of, u_of, wx_unused, scal_of,
+                   a0, a1, mu_v, rho0_of, small_inverse):
+        """Gathered rescue with rho refactor; operands are the (possibly
+        reduced) per-scenario problem the first pass solved."""
+        need = (~sol.converged) | prob.flipped
+        score = need.astype(dtype) * (
+            1.0 + jnp.maximum(sol.prim_res, sol.dual_res))
+        cap = min(rescue_capacity, b)
+        _, ridx = jax.lax.top_k(score, cap)
+        tk = lambda a: jnp.take(a, ridx, axis=0)
+        scal_r = qpx.Scaling(d=tk(scal_of.d), e=tk(scal_of.e),
+                             c=tk(scal_of.c))
+        # refactored stepsize: first-pass estimate, clamped to the
+        # healthy band of the cost-normalized family (see
+        # grf.mpc_apply_solution)
+        from a1_qp_mpc_controller_tpu.control import grf as grf_mod
+        rho_r = jnp.clip(tk(sol.rho), 0.1 * grf_mod._MPC_RHO0,
+                         100.0 * grf_mod._MPC_RHO0)
+        m_r = qpx.scaled_kkt_matrix_blockdiag(
+            tk(p_of), base_blk, slope_blk, tk(mu_v), tk(l_of), tk(u_of),
+            settings, rho_r, scal_r)
+        minv_r = small_inverse(m_r)
+        sol_r = qpx.admm_solve_fixed_batched_shared(
+            tk(p_of), tk(q_of), a0, a1, tk(mu_v), tk(l_of), tk(u_of),
+            rescue_iters, settings, tk(sol.x), tk(sol.y), rho_r, scal_r,
+            minv_r, block=admm_block, interpret=interpret)
+        sel = jnp.take(need, ridx, axis=0)
+
+        def merge(orig, new):
+            keep = sel.reshape((cap,) + (1,) * (new.ndim - 1))
+            patched = jnp.where(keep, new, jnp.take(orig, ridx, axis=0))
+            return orig.at[ridx].set(patched)
+
+        return jax.tree_util.tree_map(merge, sol, sol_r)
+
+    def full_path():
+        m_b = qpx.scaled_kkt_matrix_blockdiag(
+            prob.p_mat, base_blk, slope_blk, mu, prob.lb, prob.ub,
+            settings, prob.rho0, scal)
+        minv = batched_inverse(m_b, block=kkt_block, interpret=interpret)
+        sol = qpx.admm_solve_fixed_batched_shared(
+            prob.p_mat, prob.q_vec, a0f, a1f, mu, prob.lb, prob.ub,
+            iters, settings, prob.warm_x, prob.warm_y, prob.rho0, scal,
+            minv, block=admm_block, interpret=interpret)
+        if rescue_capacity > 0:
+            sol = run_rescue(
+                sol, prob.p_mat, prob.q_vec, prob.lb, prob.ub, None,
+                scal, a0f, a1f, mu, prob.rho0,
+                lambda m: batched_inverse(m, block=kkt_block,
+                                          interpret=interpret))
+        return sol
+
+    def reduced_path():
+        order = jnp.argsort(jnp.where(live_blk, 0, 1), axis=1,
+                            stable=True)                 # (B, nblk)
+        idxb = order[:, :n_rb]                           # (B, n_rb)
+        var_idx = (3 * idxb[:, :, None]
+                   + jnp.arange(3)[None, None, :]).reshape(b, 3 * n_rb)
+        row_idx = (5 * idxb[:, :, None]
+                   + jnp.arange(5)[None, None, :]).reshape(b, 5 * n_rb)
+        tv = lambda a: jnp.take_along_axis(a, var_idx, axis=1)
+        tr = lambda a: jnp.take_along_axis(a, row_idx, axis=1)
+        oh_v = jax.nn.one_hot(var_idx, n, dtype=dtype)   # (B, n_r, n)
+        pe = jnp.einsum("bri,bij->brj", oh_v, prob.p_mat,
+                        precision=jax.lax.Precision.HIGHEST)
+        p_r = jnp.einsum("brj,bsj->brs", pe, oh_v,
+                         precision=jax.lax.Precision.HIGHEST)
+        q_r, wx_r = tv(prob.q_vec), tv(prob.warm_x)
+        l_r, u_r, wy_r = tr(prob.lb), tr(prob.ub), tr(prob.warm_y)
+        scal_r = qpx.Scaling(d=tv(scal.d), e=tr(scal.e), c=scal.c)
+        m_r = qpx.scaled_kkt_matrix_blockdiag(
+            p_r, base_blk, slope_blk, mu, l_r, u_r, settings,
+            prob.rho0, scal_r)
+        minv_r = batched_inverse_small(m_r, block=max(admm_block, 32),
+                                       interpret=interpret)
+        a0r, a1r = srb.friction_constraint_basis_nblk(n_rb, dtype)
+        sol_r = qpx.admm_solve_fixed_batched_shared(
+            p_r, q_r, a0r, a1r, mu, l_r, u_r, iters, settings,
+            wx_r, wy_r, prob.rho0, scal_r, minv_r, block=admm_block,
+            interpret=interpret)
+        if rescue_capacity > 0:
+            sol_r = run_rescue(
+                sol_r, p_r, q_r, l_r, u_r, None, scal_r, a0r, a1r, mu,
+                prob.rho0,
+                lambda m: batched_inverse_small(
+                    m, block=max(admm_block, 32), interpret=interpret))
+        # scatter the reduced solution back to full coordinates (dead
+        # entries are exactly 0 in the equivalent full solve)
+        oh_r = jax.nn.one_hot(row_idx, m_rows, dtype=dtype)
+        x = jnp.einsum("brn,br->bn", oh_v, sol_r.x,
+                       precision=jax.lax.Precision.HIGHEST)
+        y = jnp.einsum("brm,br->bm", oh_r, sol_r.y,
+                       precision=jax.lax.Precision.HIGHEST)
+        z = jnp.einsum("brm,br->bm", oh_r, sol_r.z,
+                       precision=jax.lax.Precision.HIGHEST)
+        return sol_r.replace(x=x, y=y, z=z)
+
+    overflow = jnp.sum(
+        (n_live_blk > n_rb).astype(jnp.int32)) > big_capacity
+    if big_capacity >= b or n_rb >= nblk:
+        return full_path()
+    return jax.lax.cond(overflow, full_path, reduced_path)
+
+
+def batched_stand_control_tick(cfg: A1Config, params_b, cs_b, mem_b,
+                               sensors_b, joy: JoyCmd, dt: jnp.ndarray,
+                               *, rescue_capacity: int = 128,
+                               rescue_iters: int = 400,
+                               return_stats: bool = False):
+    """Lock-step batched stand-QP tick (the reference's 500 Hz QP
+    balance path, A1RobotControl.cpp:416-431): vmapped build, a FIXED
+    ``cfg.stand_qp_iters`` warm-started ADMM budget for every scenario
+    (pure lock-step — no data-dependent while_loop in the batch hot
+    path), then a gathered adaptive solve-to-tolerance RESCUE of the
+    worst ``rescue_capacity`` unconverged scenarios (contact flips: the
+    kappa ~1e6 family's active-set discovery needs rho adaptation and a
+    variable iteration count, which only the few flipped scenarios
+    should pay for). First-pass-converged scenarios are untouched.
+
+    Requires cfg.stance_leg_control_type == 0 and mpc_solver_mode ==
+    'fixed'. Numerically: calm warm-started ticks match the adaptive
+    core to solver tolerance (both converged); golden-gated against the
+    f64 optimum in tests/test_golden.py."""
+    from a1_qp_mpc_controller_tpu.control import grf
+    from a1_qp_mpc_controller_tpu.control.controller import (
+        control_tick_build_qp, control_tick_finish_qp,
+    )
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    assert cfg.stance_leg_control_type == 0
+    assert cfg.mpc_solver_mode == "fixed"
+    cs, mem, prob = jax.vmap(
+        lambda p, c, m, s: control_tick_build_qp(cfg, p, c, m, s, joy,
+                                                 dt)
+    )(params_b, cs_b, mem_b, sensors_b)
+
+    fixed = qpx.QPSettings(rho=grf._QP_RHO0, eps_abs=1e-4, eps_rel=1e-4)
+    sol = jax.vmap(lambda pr: qpx.admm_solve_fixed(
+        pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, cfg.stand_qp_iters,
+        fixed, x0=pr.warm_x, y0=pr.warm_y, rho0=pr.rho0))(prob)
+
+    if rescue_capacity > 0:
+        score = jnp.where(sol.converged, 0.0,
+                          jnp.maximum(sol.prim_res, sol.dual_res))
+        cap = min(rescue_capacity, score.shape[0])
+        _, ridx = jax.lax.top_k(score, cap)
+        pr_r = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, ridx, axis=0), prob)
+        # fixed-budget rescue at a REFACTORED stepsize (the first
+        # pass's rho estimate) and one-decade-tighter tolerance: near
+        # flips the 1e-4 relative check can be satisfied a few N from
+        # the optimum (|q| is large); 1e-5 pins the force to ~0.15 N
+        # (measured). A while_loop-adaptive rescue here measured 30 ms
+        # at batch 4096 (the gathered lock-step loop runs as long as
+        # its slowest scenario EVERY tick); the fixed budget is ~1.5 ms.
+        fixed_r = qpx.QPSettings(rho=grf._QP_RHO0, eps_abs=1e-5,
+                                 eps_rel=1e-5)
+        rho_r = jnp.clip(jnp.take(sol.rho, ridx, axis=0), 1e-3, 1.0)
+        sol_r = jax.vmap(lambda pr, x0, y0, r0: qpx.admm_solve_fixed(
+            pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, rescue_iters,
+            fixed_r, x0=x0, y0=y0, rho0=r0))(
+            pr_r, jnp.take(sol.x, ridx, axis=0),
+            jnp.take(sol.y, ridx, axis=0), rho_r)
+        unconv = ~jnp.take(sol.converged, ridx, axis=0)
+
+        def merge(orig, new):
+            keep = unconv.reshape((cap,) + (1,) * (new.ndim - 1))
+            patched = jnp.where(keep, new,
+                                jnp.take(orig, ridx, axis=0))
+            return orig.at[ridx].set(patched)
+
+        sol = jax.tree_util.tree_map(merge, sol, sol_r)
+
+    out = jax.vmap(
+        lambda p, c, m, s: control_tick_finish_qp(cfg, p, c, m, s)
+    )(params_b, cs, mem, sol)
+    if return_stats:
+        stats = {"converged": sol.converged, "prim_res": sol.prim_res,
+                 "dual_res": sol.dual_res, "iters": sol.iters}
+        return out + (stats,)
+    return out
 
 
 def batched_closed_loop_step(cfg: A1Config, params_b, terr_b,

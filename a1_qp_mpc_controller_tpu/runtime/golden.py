@@ -87,10 +87,12 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
              mpc_iters: int = 400, solver_mode: str = "adaptive",
              profile: str = "gazebo_mpc",
              terrain: Optional[terrain_mod.Terrain] = None,
-             tol_newton: float = 2.0, verbose: bool = True) -> dict:
+             tol_newton: float = 2.0, verbose: bool = True,
+             rescue_iters: int = 0) -> dict:
     cfg, params = load_profile(profile)
     cfg = dataclasses.replace(cfg, mpc_qp_iters=mpc_iters,
-                              mpc_solver_mode=solver_mode)
+                              mpc_solver_mode=solver_mode,
+                              mpc_rescue_iters=rescue_iters)
     terrain = terrain if terrain is not None else terrain_mod.Terrain.flat()
     n_steps = int(seconds / cfg.control_dt)
     walk_after = int(walk_after_s / cfg.control_dt)
@@ -141,6 +143,96 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
         "nan": bool(np.isnan(np.asarray(ps.root_pos)).any()),
     }
     return report
+
+
+def run_stand_batched_gate(seconds: float = 1.5, sample_every: int = 2,
+                           batch: int = 3, walk_after_s: float = 0.5,
+                           velx: float = 0.3, stand_qp_iters: int = 100,
+                           rescue_capacity: Optional[int] = None,
+                           tol_newton: float = 2.0,
+                           verbose: bool = False) -> dict:
+    """Golden gate for the LOCK-STEP batched stand-QP route
+    (parallel.batched.batched_stand_control_tick): closed-loop gazebo_qp
+    trot with staggered gait phases across the batch (so flips land on
+    different ticks), per-sample f64-optimum force comparison for every
+    scenario. This is the quality certificate for the fixed-budget +
+    gathered-rescue schedule the throughput bench ships."""
+    import jax
+
+    from a1_qp_mpc_controller_tpu.parallel.batched import (
+        batched_stand_control_tick, make_flat_batch,
+    )
+
+    cfg, params = load_profile("gazebo_qp")
+    cfg = dataclasses.replace(cfg, mpc_solver_mode="fixed",
+                              stand_qp_iters=stand_qp_iters)
+    if rescue_capacity is None:
+        # size the rescue to the one synchronized flip (walk onset,
+        # where EVERY scenario flips on the same tick); steady-state
+        # flips are staggered and need far less
+        rescue_capacity = batch
+    n_steps = int(seconds / cfg.control_dt)
+    walk_after = int(walk_after_s / cfg.control_dt)
+    joy = cl.joy_schedule(n_steps, walk_after=walk_after, velx=velx)
+    pb, terr, carry = make_flat_batch(cfg, jax.random.PRNGKey(7), batch,
+                                      params)
+    # stagger the gait phases so contact flips hit different ticks in
+    # different scenarios (the hard case for a lock-step batch)
+    offs = jnp.linspace(0.0, 110.0, batch)[:, None]
+    carry = carry.replace(cs=carry.cs.replace(
+        gait_counter=(carry.cs.gait_counter + offs) % 240.0))
+    dt = jnp.float32(cfg.control_dt)
+
+    @jax.jit
+    def tick(carry, j):
+        sensors = jax.vmap(
+            lambda p, ps, pv: plant_mod.read_sensors(p, ps, pv, dt)
+        )(pb, carry.ps, carry.prev_root_lin_vel)
+        cs, mem, tq = batched_stand_control_tick(
+            cfg, pb, carry.cs, carry.mem, sensors, j, dt,
+            rescue_capacity=rescue_capacity)
+        prev = carry.ps.root_lin_vel
+        ps = jax.vmap(
+            lambda p, t, s, q: plant_mod.plant_step(p, t, s, q, dt)
+        )(pb, terr, carry.ps, tq)
+        return cl.LoopCarry(cs=cs, mem=mem, ps=ps,
+                            prev_root_lin_vel=prev)
+
+    devs = []
+    for t in range(n_steps):
+        j = jtu.tree_map(lambda a: a[t], joy)
+        carry = tick(carry, j)
+        if t >= walk_after and (t - walk_after) % sample_every == 0:
+            for i in range(batch):
+                cs_i = jtu.tree_map(lambda a: a[i], carry.cs)
+                p_i = jtu.tree_map(lambda a: a[i], pb)
+                p_mat, q_vec, a_mat, lb, ub = rebuild_stand_qp(
+                    cfg, p_i, cs_i)
+                x64, _, _, _ = qp_ref.solve_qp_ref(
+                    np.asarray(p_mat, np.float64),
+                    np.asarray(q_vec, np.float64),
+                    np.asarray(a_mat, np.float64),
+                    np.asarray(lb, np.float64),
+                    np.asarray(ub, np.float64), eps=1e-9)
+                f_ref = x64.reshape(4, 3)
+                f_ours = (np.asarray(cs_i.root_rot_mat)
+                          @ np.asarray(cs_i.foot_forces_grf).T)
+                dev = np.abs(f_ours.T - f_ref).max()
+                devs.append(dev)
+                if verbose and dev > tol_newton:
+                    print(f"  t={t * cfg.control_dt:.3f}s scen {i} "
+                          f"dev={dev:.3f} N", file=sys.stderr)
+    devs = np.array(devs)
+    root = np.asarray(carry.ps.root_pos)
+    return {
+        "samples": len(devs),
+        "max_dev_N": float(devs.max()),
+        "mean_dev_N": float(devs.mean()),
+        "p95_dev_N": float(np.percentile(devs, 95)),
+        "frac_within_tol": float((devs <= tol_newton).mean()),
+        "tol_N": tol_newton,
+        "nan": bool(np.isnan(root).any()),
+    }
 
 
 if __name__ == "__main__":

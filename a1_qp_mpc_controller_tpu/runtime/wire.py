@@ -38,6 +38,9 @@ from a1_qp_mpc_controller_tpu.config import A1Config, RobotParams
 from a1_qp_mpc_controller_tpu.sim import plant as plant_mod
 from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
 
+# wire format registry: 'native' is our compact float32 frame; 'sdk'
+# is the Unitree legged SDK v3.2 packed-struct byte layout
+# (runtime/sdk_wire.py) — same four-function contract
 STATE_MAGIC = 0xA15E_ED01
 CMD_MAGIC = 0xA1C0_FFEE
 _HDR = struct.Struct("<II")
@@ -97,6 +100,20 @@ def unpack_low_cmd(buf: bytes) -> Tuple[int, np.ndarray]:
     return seq, f[60:72].copy()
 
 
+def wire_functions(fmt: str):
+    """(pack_state, unpack_state, pack_cmd, unpack_cmd) for a format
+    name: 'native' (our float32 frames) or 'sdk' (Unitree SDK v3.2
+    packed structs, runtime/sdk_wire.py)."""
+    if fmt == "native":
+        return (pack_low_state, unpack_low_state, pack_low_cmd,
+                unpack_low_cmd)
+    if fmt == "sdk":
+        from a1_qp_mpc_controller_tpu.runtime import sdk_wire
+        return (sdk_wire.pack_low_state_sdk, sdk_wire.unpack_low_state_sdk,
+                sdk_wire.pack_low_cmd_sdk, sdk_wire.unpack_low_cmd_sdk)
+    raise ValueError(f"unknown wire format {fmt!r}")
+
+
 class MockA1Robot:
     """Loopback robot endpoint: receives LowCmd over UDP, advances the
     in-framework plant by one sensor period per command, replies with the
@@ -104,7 +121,9 @@ class MockA1Robot:
     onboard side play for the reference."""
 
     def __init__(self, params: RobotParams, terrain: terrain_mod.Terrain,
-                 sensor_dt: float = 0.002):
+                 sensor_dt: float = 0.002, wire_format: str = "native"):
+        self._pack_state, _, _, self._unpack_cmd = wire_functions(
+            wire_format)
         self.params = params
         self.terrain = terrain
         self.sensor_dt = jnp.float32(sensor_dt)
@@ -127,7 +146,7 @@ class MockA1Robot:
 
     def serve_once(self) -> None:
         buf, peer = self.sock.recvfrom(4096)
-        _, tau_wire = unpack_low_cmd(buf)
+        _, tau_wire = self._unpack_cmd(buf)
         if not self.nonzero_seen:
             if np.abs(tau_wire).max() == 0.0:
                 self.zero_torque_cmds += 1
@@ -146,8 +165,8 @@ class MockA1Robot:
         ff = np.asarray(s.foot_force)[_SWAP_F]
         self.seq += 1
         self.sock.sendto(
-            pack_low_state(self.seq, s.root_quat, s.imu_ang_vel, s.imu_acc,
-                           jp, jv, ff), peer)
+            self._pack_state(self.seq, s.root_quat, s.imu_ang_vel,
+                             s.imu_acc, jp, jv, ff), peer)
 
     def close(self) -> None:
         self.sock.close()
@@ -167,7 +186,7 @@ class HardwareWireRunner:
 
     def __init__(self, cfg: A1Config, params: RobotParams,
                  robot_addr, sensor_dt: float = 0.002,
-                 power_level: int = 5):
+                 power_level: int = 5, wire_format: str = "native"):
         from a1_qp_mpc_controller_tpu.runtime.native import SensorRing
         from a1_qp_mpc_controller_tpu.runtime.realtime import (
             SENSOR_FRAME_LEN, pack_sensors, unpack_sensors,
@@ -188,6 +207,8 @@ class HardwareWireRunner:
         self.ring = SensorRing(SENSOR_FRAME_LEN)
         self._pack = pack_sensors
         self._unpack = unpack_sensors
+        (_, self._unpack_state, self._pack_cmd, _) = wire_functions(
+            wire_format)
         self.seq = 0
         self.torques = jnp.zeros(12, jnp.float32)
 
@@ -195,14 +216,15 @@ class HardwareWireRunner:
         cmd = hw.egress(torques, self.cs.joint_pos, self.cs.joint_vel,
                         self.power_level)
         self.seq += 1
-        self.sock.sendto(pack_low_cmd(self.seq, cmd), self.robot_addr)
+        self.sock.sendto(self._pack_cmd(self.seq, cmd),
+                         self.robot_addr)
 
     def _recv_state(self) -> Optional[hw.LowState]:
         try:
             buf, _ = self.sock.recvfrom(4096)
         except socket.timeout:
             return None
-        _, ls = unpack_low_state(buf)
+        _, ls = self._unpack_state(buf)
         return ls
 
     def handshake(self, n: int = 10) -> int:

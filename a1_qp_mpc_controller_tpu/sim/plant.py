@@ -188,7 +188,7 @@ def _substep(params: RobotParams, terrain: terrain_mod.Terrain,
     rot = mathx.quat_to_rot(ps.root_quat)
     inertia_w = rot @ (params.trunk_inertia + LEG_INERTIA) @ rot.T
     lin_acc = body_force / params.robot_mass + GRAV
-    ang_acc = jnp.linalg.solve(
+    ang_acc = mathx.solve3(
         inertia_w,
         body_torque - jnp.cross(ps.root_ang_vel,
                                 inertia_w @ ps.root_ang_vel))
@@ -221,8 +221,7 @@ def plant_step(params: RobotParams, terrain: terrain_mod.Terrain,
     # massless leg: force the leg applies at its endpoint. tau = J' F_app
     # (manipulator convention, matching the controller's
     # tau = J'(-F_grf) stance mapping) => F_app = J^-T tau.
-    f_ee_body = jnp.linalg.solve(jacs.transpose(0, 2, 1), tau[..., None]
-                                 )[..., 0]
+    f_ee_body = mathx.solve3(jacs.transpose(0, 2, 1), tau)
     leg_force_world = jnp.einsum("ab,lb->la", rot, f_ee_body)
 
     sub_dt = dt / substeps
@@ -250,7 +249,7 @@ def read_sensors(params: RobotParams, ps: PlantState,
         "ba,lb->la", rot, ps.foot_vel - ps.root_lin_vel[None, :]
         - jnp.cross(ps.root_ang_vel[None, :], ps.foot_pos
                     - ps.root_pos[None, :]))
-    joint_vel = jnp.linalg.solve(jacs, rel_vel[..., None])[..., 0]
+    joint_vel = mathx.solve3(jacs, rel_vel)
     return SensorData(
         root_quat=ps.root_quat,
         root_pos=ps.root_pos,

@@ -111,6 +111,43 @@ def pseudo_inverse_3x3(m: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return cof / det[..., None, None]
 
 
+def inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of GENERAL 3x3 matrices, batched
+    over any leading axes.
+
+    TPU-first replacement for ``jnp.linalg.inv`` on tiny systems: XLA's
+    batched LU lowering is a pathological chain of tiny kernels on TPU
+    (several ms even at (B,28,28), CLAUDE.md), while the adjugate is a
+    handful of fused VPU multiplies. No pivoting — same failure mode at
+    exact singularity as unpivoted LU; callers regularize where the
+    matrix can degenerate (e.g. Levenberg damping in IK)."""
+    a00, a01, a02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    a10, a11, a12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    a20, a21, a22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv = jnp.stack([
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    return inv / det[..., None, None]
+
+
+def solve3(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.linalg.solve`` for 3x3 systems via :func:`inv3`:
+    (..., 3, 3) x (..., 3) -> (..., 3)."""
+    return jnp.einsum("...ij,...j->...i", inv3(m), b)
+
+
 def cal_dihedral_angle(n1: jnp.ndarray, n2: jnp.ndarray) -> jnp.ndarray:
     """Unsigned angle between two plane normals (Utils.cpp:54-62)."""
     cos_a = jnp.abs(jnp.sum(n1 * n2, axis=-1)) / (

@@ -8,19 +8,26 @@ TPU chip). Prints ONE JSON line:
 vs_baseline is measured against the per-chip share of the BASELINE.json
 target: >=100k horizon-10 MPC solves/s on a v5e-16 => 6250 solves/s/chip.
 
-The benchmarked unit is the FULL control tick (sensor ingest, FK fan-out,
-gait/swing planning, EKF update, condensed QP construction, warm-started
-fixed-25-iteration ADMM solve — the count at which the steady-state
-converged fraction at OSQP's default 1e-3 tolerances matches 50
-iterations to within 1% (scripts/iter_study.py); the achieved fraction
-is reported in extra — torque mapping) — one MPC solve per tick, so
-ticks/s x batch == solves/s, and the number includes everything the
-reference's two 400 Hz threads do per period. The batched path runs the
-shared-basis Pallas route (parallel.batched_control_tick: GJ KKT-inverse
-kernel + fused-ADMM kernel).
+The benchmarked unit is the FULL CLOSED-LOOP control tick: sensor read
+from the in-framework plant, ingest/FK fan-out, gait/swing planning, EKF
+update, condensed QP construction, warm-started fixed-25-iteration ADMM
+solve with a gathered flip-rescue pass, torque mapping, AND the plant
+step — one MPC solve per tick, so ticks/s x batch == solves/s. Round 4
+moved the protocol from static-held sensors to the closed loop because a
+static sensor snapshot holds every foot force high forever, which makes
+the early-contact rule manufacture synchronized all-4-stance windows —
+an unphysical contact distribution that both hid flip dynamics and
+overstated stance counts (a steady trot is 2-stance ~90% of ticks).
+The batch is warmed ~1.25 s into the steady trot before timing.
 
-Latency is reported two ways: device-resident per-tick latency (a scan of
-ticks on-device — what an on-robot TPU would see) and host-in-the-loop
+The batched path runs the shared-basis Pallas route
+(parallel.batched_control_tick): contact-pattern-REDUCED solver shapes
+(kkt_backend='reduced_admm' — both the KKT inverse and the fused-ADMM
+iterations at the gathered stance-block size) with 'reduced'/'gj' as
+fallback candidates.
+
+Latency is reported two ways: device-resident per-tick latency (a scan
+of ticks on-device — what an on-robot TPU would see) and host-in-the-loop
 p99 (which through this dev harness's axon tunnel includes ~28 ms RTT).
 """
 
@@ -28,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -35,6 +43,9 @@ import jax
 import jax.numpy as jnp
 
 PER_CHIP_TARGET = 100_000 / 16  # BASELINE.json: 100k solves/s on v5e-16
+
+RESCUE_CAPACITY = 128
+RESCUE_ITERS = 75
 
 
 def log(*a):
@@ -53,110 +64,129 @@ def build():
     return cfg, params, control_tick, CtrlState, CtrlMem, SensorData, JoyCmd
 
 
-def make_batch_state(cfg, params, batch):
-    """Physical standing-pose batch (IK joint angles, plant-read sensors)
-    — see parallel.batched.make_bench_state."""
-    from a1_qp_mpc_controller_tpu.parallel.batched import make_bench_state
+def _tick_kwargs(kkt_backend: str) -> dict:
+    return dict(admm_backend="pallas_shared", kkt_block=32,
+                admm_block=64, kkt_backend=kkt_backend,
+                kkt_big_capacity=256, rescue_capacity=RESCUE_CAPACITY,
+                rescue_iters=RESCUE_ITERS)
 
-    return make_bench_state(cfg, jax.random.PRNGKey(0), batch, params)
 
-
-def bench_throughput(batch: int, backend: str, ticks: int = 20,
-                     reps: int = 3, kkt_backend: str = "gj") -> float:
-    """Batched MPC control ticks/s on one chip (solves/s)."""
+def _warm_trot(cfg, batch: int, stand_ticks: int = 120,
+               walk_ticks: int = 380):
+    """Flat-ground closed-loop batch warmed into the steady trot."""
     from a1_qp_mpc_controller_tpu.parallel.batched import (
-        batched_control_tick,
+        batched_closed_loop_step, make_flat_batch,
     )
+    from a1_qp_mpc_controller_tpu.config import load_profile
+    from a1_qp_mpc_controller_tpu.types import JoyCmd
 
-    cfg, params, control_tick, *_ , JoyCmd = build()
-    pb, cs, mem, sensors = make_batch_state(cfg, params, batch)
-    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
-                                 velx=jnp.float32(0.3))
+    _, params = load_profile("gazebo_mpc")
+    pb, terr, carry = make_flat_batch(cfg, jax.random.PRNGKey(0), batch,
+                                      params)
+    joy_w = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                   velx=jnp.float32(0.3))
+    joy_s = JoyCmd.zeros()
     dt = jnp.float32(cfg.control_dt)
 
-    if backend == "pallas_shared":
-        def tick(cs, mem):
-            return batched_control_tick(
-                cfg, pb, cs, mem, sensors, joy, dt,
-                admm_backend="pallas_shared", kkt_block=32, admm_block=64,
-                kkt_backend=kkt_backend)
-    else:
-        def tick(cs, mem):
-            cs, mem, tq = jax.vmap(
-                lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt)
-            )(pb, cs, mem, sensors)
-            return cs, mem, tq
+    @jax.jit
+    def warm(carry, pb, terr):
+        def body(c, t):
+            j = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(t < stand_ticks, a, b),
+                joy_s, joy_w)
+            cr, pb2, terr2 = c
+            cr = batched_closed_loop_step(cfg, pb2, terr2, cr, j, dt,
+                                          **_tick_kwargs("gj"))
+            return (cr, pb2, terr2), None
+        return jax.lax.scan(body, (carry, pb, terr),
+                            jnp.arange(stand_ticks + walk_ticks))[0][0]
+
+    carry = warm(carry, pb, terr)
+    jax.block_until_ready(carry.ps.root_pos)
+    alive = float(jnp.mean(
+        (~jnp.isnan(carry.ps.root_pos[:, 2])).astype(jnp.float32)))
+    log(f"  warm: alive_frac={alive:.4f} "
+        f"mean_z={float(jnp.nanmean(carry.ps.root_pos[:, 2])):.3f}")
+    return pb, terr, carry, joy_w, dt, alive
+
+
+def bench_throughput(batch: int, kkt_backend: str, warm_state,
+                     ticks: int = 20, reps: int = 3):
+    """Closed-loop MPC control ticks/s on one chip (solves/s) from a
+    trot-warm state, plus the converged fraction over the timed window."""
+    from a1_qp_mpc_controller_tpu.parallel.batched import (
+        batched_closed_loop_step,
+    )
+
+    cfg, *_ = build()
+    pb, terr, carry, joy, dt, _ = warm_state
 
     @jax.jit
-    def run(cs, mem):
-        def body(carry, _):
-            cs, mem = carry
-            cs, mem, _ = tick(cs, mem)
-            return (cs, mem), None
-
-        (cs, mem), _ = jax.lax.scan(body, (cs, mem), None, length=ticks)
-        return cs, mem
+    def run(carry, pb, terr):
+        def body(c, _):
+            cr, pb2, terr2 = c
+            cr = batched_closed_loop_step(cfg, pb2, terr2, cr, joy, dt,
+                                          **_tick_kwargs(kkt_backend))
+            return (cr, pb2, terr2), None
+        return jax.lax.scan(body, (carry, pb, terr), None,
+                            length=ticks)[0][0]
 
     t0 = time.perf_counter()
-    cs2, mem2 = run(cs, mem)
-    cs2.joint_torques.block_until_ready()
+    out = run(carry, pb, terr)
+    jax.block_until_ready(out.cs.joint_torques)
     log(f"  compile+first run: {time.perf_counter() - t0:.1f}s")
-
     best = 0.0
     for _ in range(reps):
         t0 = time.perf_counter()
-        cs2, mem2 = run(cs, mem)
-        cs2.joint_torques.block_until_ready()
-        dt_wall = time.perf_counter() - t0
-        best = max(best, batch * ticks / dt_wall)
-
-    # solution-quality audit on the post-scan state: fraction of scenarios
-    # meeting OSQP's default tolerances (eps_abs = eps_rel = 1e-3)
-    conv = None
-    if backend == "pallas_shared":
-        _, _, _, stats = jax.jit(lambda c, m: batched_control_tick(
-            cfg, pb, c, m, sensors, joy, dt,
-            admm_backend="pallas_shared", kkt_block=32, admm_block=64,
-            kkt_backend=kkt_backend, return_stats=True))(cs2, mem2)
-        conv = float(jnp.mean(stats["converged"].astype(jnp.float32)))
-    return best, conv
-
-
-def audit_trot_convergence(kkt_backend: str = "gj", batch: int = 1024,
-                           ticks: int = 100) -> dict:
-    """Honesty audit beyond the standing-phase number: run the batch
-    through walk onset into the trot (gait counters live, contact flips
-    staggered across scenarios) and report the per-tick converged
-    fraction over the trot window — the solver quality the throughput
-    number actually ships with."""
-    from a1_qp_mpc_controller_tpu.parallel.batched import (
-        batched_control_tick,
-    )
-
-    cfg, params, *_ , JoyCmd = build()
-    pb, cs, mem, sensors = make_batch_state(cfg, params, batch)
-    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
-                                 velx=jnp.float32(0.3))
-    dt = jnp.float32(cfg.control_dt)
+        out = run(carry, pb, terr)
+        jax.block_until_ready(out.cs.joint_torques)
+        best = max(best, batch * ticks / (time.perf_counter() - t0))
 
     @jax.jit
-    def run(pb, cs, mem, sensors):
-        def body(carry, _):
-            cs, mem = carry
-            cs, mem, _, stats = batched_control_tick(
-                cfg, pb, cs, mem, sensors, joy, dt,
-                admm_backend="pallas_shared", kkt_block=32, admm_block=64,
-                kkt_backend=kkt_backend, return_stats=True)
-            return (cs, mem), jnp.mean(
+    def conv_audit(carry, pb, terr):
+        def body(c, _):
+            cr, pb2, terr2 = c
+            cr, stats = batched_closed_loop_step(
+                cfg, pb2, terr2, cr, joy, dt, return_stats=True,
+                **_tick_kwargs(kkt_backend))
+            return (cr, pb2, terr2), jnp.mean(
                 stats["converged"].astype(jnp.float32))
-        return jax.lax.scan(body, (cs, mem), None, length=ticks)[1]
+        return jax.lax.scan(body, (carry, pb, terr), None,
+                            length=10)[1]
 
-    frac = jax.device_get(run(pb, cs, mem, sensors))
-    trot = frac[ticks // 2:]
+    conv = jax.device_get(conv_audit(carry, pb, terr))
+    return best, float(conv.mean())
+
+
+def audit_trot_convergence(kkt_backend: str, warm_state,
+                           ticks: int = 100) -> dict:
+    """Per-tick converged fraction over a full closed-loop trot window
+    (gait counters live, flips staggered across scenarios) — the solver
+    quality the throughput number actually ships with."""
+    from a1_qp_mpc_controller_tpu.parallel.batched import (
+        batched_closed_loop_step,
+    )
+
+    cfg, *_ = build()
+    pb, terr, carry, joy, dt, _ = warm_state
+
+    @jax.jit
+    def run(carry, pb, terr):
+        def body(c, _):
+            cr, pb2, terr2 = c
+            cr, stats = batched_closed_loop_step(
+                cfg, pb2, terr2, cr, joy, dt, return_stats=True,
+                **_tick_kwargs(kkt_backend))
+            return (cr, pb2, terr2), jnp.mean(
+                stats["converged"].astype(jnp.float32))
+        return jax.lax.scan(body, (carry, pb, terr), None,
+                            length=ticks)[1]
+
+    frac = jax.device_get(run(carry, pb, terr))
     return {
         "ticks": ticks,
-        "trot_window_mean": round(float(trot.mean()), 4),
-        "trot_window_min": round(float(trot.min()), 4),
+        "trot_window_mean": round(float(frac.mean()), 4),
+        "trot_window_min": round(float(frac.min()), 4),
         "last_tick": round(float(frac[-1]), 4),
     }
 
@@ -165,13 +195,17 @@ def bench_stand_qp(batch: int = 4096, ticks: int = 20, reps: int = 3
                    ) -> float:
     """Batched 12-var stand-QP control ticks/s (BASELINE config 1: the
     reference's 500 Hz QP balance path, A1RobotControl.cpp:416-431).
-    Fixed mode = warm-started adaptive-core solve (the 12-var while_loop
-    is lock-step-bounded under vmap); full tick incl.
-    ingest/EKF/plan/torques. Quality: golden-gated at frac 1.0 within
-    2 N vs the f64 optimum (tests/test_golden.py)."""
+    Round 4: the TRUE lock-step route — a fixed 100-iteration
+    warm-started budget for every scenario plus a gathered fixed-budget
+    rho-refactored rescue of flip scenarios
+    (parallel.batched_stand_control_tick); full tick incl.
+    ingest/EKF/plan/torques. Quality: dense per-tick golden gate at
+    frac 1.0 (tests/test_golden.py::test_stand_qp_lockstep_batched_gate
+    _dense)."""
     from a1_qp_mpc_controller_tpu.config import load_profile
-    from a1_qp_mpc_controller_tpu.control.controller import control_tick
-    from a1_qp_mpc_controller_tpu.parallel.batched import make_bench_state
+    from a1_qp_mpc_controller_tpu.parallel.batched import (
+        batched_stand_control_tick, make_bench_state,
+    )
     from a1_qp_mpc_controller_tpu.types import JoyCmd
 
     cfg, params = load_profile("gazebo_qp")
@@ -179,16 +213,17 @@ def bench_stand_qp(batch: int = 4096, ticks: int = 20, reps: int = 3
                               stand_qp_iters=100)
     pb, cs, mem, sensors = make_bench_state(cfg, jax.random.PRNGKey(0),
                                             batch, params)
-    joy = JoyCmd.zeros()
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
     dt = jnp.float32(cfg.control_dt)
 
     @jax.jit
     def run(pb, cs, mem, sensors):
         def body(carry, _):
             cs, mem = carry
-            cs, mem, _ = jax.vmap(
-                lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt)
-            )(pb, cs, mem, sensors)
+            cs, mem, _ = batched_stand_control_tick(
+                cfg, pb, cs, mem, sensors, joy, dt,
+                rescue_capacity=128)
             return (cs, mem), None
         return jax.lax.scan(body, (cs, mem), None, length=ticks)[0]
 
@@ -248,7 +283,9 @@ def bench_scaling(base_batch: int = 1024, ticks: int = 20, reps: int = 3,
     report solves/s at each device count. On a 1-chip host this
     degenerates to the single-device number; on a CPU mesh
     (xla_force_host_platform_device_count) it exercises the sharded
-    pallas_shared path via shard_map (BASELINE.md scaling points)."""
+    pallas_shared path via shard_map (BASELINE.md scaling points).
+    A REAL 2-process jax.distributed run is exercised separately by
+    tests/test_distributed.py."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from a1_qp_mpc_controller_tpu.parallel.batched import (
@@ -394,63 +431,52 @@ def main():
     log(f"host-in-loop latency (incl. tunnel RTT): "
         f"p50={lat_host['p50_ms']:.2f} ms p99={lat_host['p99_ms']:.2f} ms")
 
-    # pick the KKT-inverse backend empirically at batch 1024, then scale
-    # the winner across batch sizes. Candidates: 'chol' (pure-XLA blocked
-    # Cholesky, batched GEMMs — the round-3 addition) and 'gj' (flat
-    # Pallas Gauss-Jordan). The transposed-layout kernels are dead on
-    # this image: Mosaic crashes on ANY grid over the lane dimension
-    # (isolated by scripts/probe_mosaic*.py, 2026-08-21), and the grid-1
-    # variants measured 2x slower per scenario than flat GJ.
-    import os
+    # closed-loop throughput: warm the batch into the trot once, then
+    # shoot out the KKT/solver backends. 'reduced_admm' (whole-solve
+    # contact-pattern shape reduction) is the round-4 production
+    # candidate; 'gj' is the full-size fallback.
+    cfg, *_ = build()
     candidates = tuple(
-        os.environ.get("TPU_QMPC_BENCH_KKT", "chol,gj").split(","))
+        os.environ.get("TPU_QMPC_BENCH_KKT", "reduced_admm,gj").split(","))
+    batch = 1024
+    warm_state = _warm_trot(cfg, batch)
     best = 0.0
     best_batch = 0
     best_conv = None
     best_kkt = None
     for kkt in candidates:
         try:
-            sps, conv = bench_throughput(1024, "pallas_shared",
-                                         kkt_backend=kkt)
+            sps, conv = bench_throughput(batch, kkt, warm_state)
         except Exception as e:  # noqa: BLE001 - fall back to the other
-            log(f"  pallas_shared kkt={kkt} batch=1024 failed: "
-                f"{type(e).__name__}")
+            log(f"  closed-loop kkt={kkt} batch={batch} failed: "
+                f"{type(e).__name__}: {e}")
             continue
-        log(f"  pallas_shared kkt={kkt} batch=1024: {sps:,.0f} solves/s "
-            f"(converged frac {conv})")
+        log(f"  closed-loop kkt={kkt} batch={batch}: {sps:,.0f} solves/s "
+            f"(converged frac {conv:.4f})")
         if sps > best:
-            best, best_batch, best_conv, best_kkt = sps, 1024, conv, kkt
-    # batch sweep kept short: 4096 measured within noise of 1024/2048 in
-    # round 1, and every extra config is 2 more programs through a compile
-    # queue that has taken up to 45 min per program. Guarded on a
-    # successful 1024 measurement.
-    if best_kkt is not None:
-        for batch in (2048,):
-            sps, conv = bench_throughput(batch, "pallas_shared",
-                                         kkt_backend=best_kkt)
-            log(f"  pallas_shared kkt={best_kkt} batch={batch}: "
-                f"{sps:,.0f} solves/s (converged frac {conv})")
-            if sps > best:
-                best, best_batch, best_conv = sps, batch, conv
+            best, best_batch, best_conv, best_kkt = sps, batch, conv, kkt
     log(f"best: {best:,.0f} solves/s/chip at batch={best_batch} "
         f"(kkt={best_kkt}); device-resident latency {lat_dev:.3f} ms")
+
+    trot_conv = (audit_trot_convergence(best_kkt, warm_state)
+                 if best_kkt else None)
+    log(f"trot-phase convergence audit: {trot_conv}")
 
     # multi-device scaling points (BASELINE.md): only when >1 device is
     # visible — on this 1-chip image the single-device number above IS
     # the 1-chip point; the sharded path is exercised by the CPU-mesh
-    # test (tests/test_parallel.py::test_bench_scaling_cpu_mesh)
+    # test and the 2-process jax.distributed test
     if len(jax.devices()) > 1:
-        scaling = bench_scaling(kkt_backend=best_kkt or "gj")
+        scaling = bench_scaling(kkt_backend="gj")
     else:
         scaling = {"1": {"solves_per_s": round(best, 1),
                          "solves_per_s_per_chip": round(best, 1)}}
 
     stand_sps = bench_stand_qp()
-    log(f"stand-QP (12-var, fixed 100 it): {stand_sps:,.0f} solves/s")
+    log(f"stand-QP (12-var, lock-step fixed 100 it + rescue): "
+        f"{stand_sps:,.0f} solves/s")
     terrain = bench_terrain_eval()
     log(f"terrain eval: {terrain}")
-    trot_conv = audit_trot_convergence(kkt_backend=best_kkt or "gj")
-    log(f"trot-phase convergence audit: {trot_conv}")
 
     print(json.dumps({
         "metric": "mpc_solves_per_s_per_chip",
@@ -458,12 +484,18 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(best / PER_CHIP_TARGET, 3),
         "extra": {
+            "protocol": "closed-loop (plant in the loop), trot-warm "
+                        "batch; round 3 used static-held sensors",
             "latency_device_resident_ms": round(lat_dev, 3),
             "latency_host_p99_ms": round(lat_host["p99_ms"], 3),
             "latency_host_p50_ms": round(lat_host["p50_ms"], 3),
             "latency_budget_ms": 2.5,
             "best_batch": best_batch,
             "admm_iters_per_solve": 25,
+            "rescue": {"capacity": RESCUE_CAPACITY,
+                       "iters": RESCUE_ITERS,
+                       "trigger": "unconverged or contact-flip, "
+                                  "rho-refactored"},
             "batched_backend": "pallas_shared",
             "kkt_backend": best_kkt,
             "converged_frac_osqp_tol": best_conv,

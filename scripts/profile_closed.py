@@ -49,10 +49,21 @@ def main():
     print(f"batch={b} iters={args.iters} device={jax.devices()[0]}",
           flush=True)
 
-    def step(carry2, backend, cap, rescue):
+    def step(carry2, backend, cap, rescue, rescue_iters=25):
         c, pb2, terr2 = carry2
         c = batched_closed_loop_step(
             cfg, pb2, terr2, c, joy, dt,
+            admm_backend="pallas_shared", kkt_block=32, admm_block=64,
+            kkt_backend=backend, kkt_big_capacity=cap,
+            rescue_capacity=rescue, rescue_iters=rescue_iters)
+        return (c, pb2, terr2)
+
+    joy_stand = JoyCmd.zeros()
+
+    def step_j(carry2, j, backend, cap, rescue):
+        c, pb2, terr2 = carry2
+        c = batched_closed_loop_step(
+            cfg, pb2, terr2, c, j, dt,
             admm_backend="pallas_shared", kkt_block=32, admm_block=64,
             kkt_backend=backend, kkt_big_capacity=cap,
             rescue_capacity=rescue)
@@ -60,10 +71,13 @@ def main():
 
     @jax.jit
     def warm(carry, pb, terr):
-        def body(c, _):
-            return step(c, "gj", 256, 0), None
-        return jax.lax.scan(body, (carry, pb, terr), None,
-                            length=args.warm_ticks)[0][0]
+        # stand first (EKF settles, feet load), then walk into the trot
+        def body(c, t):
+            j = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(t < 120, a, b), joy_stand, joy)
+            return step_j(c, j, "gj", 256, 0), None
+        return jax.lax.scan(body, (carry, pb, terr),
+                            jnp.arange(args.warm_ticks))[0][0]
 
     carry = warm(carry, pb, terr)
     jax.block_until_ready(carry.ps.root_pos)
@@ -86,19 +100,40 @@ def main():
     print(f"per-tick stance counts (<=2 / 3 / 4 legs):\n{hist}",
           flush=True)
 
-    for backend, cap, rescue in (("gj", 256, 0), ("reduced", 256, 0),
-                                 ("reduced", 256, 128)):
+    # isolate the plant+sensor cost (control held at last torques)
+    from a1_qp_mpc_controller_tpu.sim import plant as plant_mod
+
+    def plant_only(carry2):
+        c, pb2, terr2 = carry2
+        sensors = jax.vmap(
+            lambda p, ps, pv: plant_mod.read_sensors(p, ps, pv, dt)
+        )(pb2, c.ps, c.prev_root_lin_vel)
+        prev = c.ps.root_lin_vel
+        ps = jax.vmap(
+            lambda p, t, s, q: plant_mod.plant_step(p, t, s, q, dt, 5)
+        )(pb2, terr2, c.ps, c.cs.joint_torques
+          + 1e-6 * sensors.foot_force[:, :1])
+        return (c.replace(ps=ps, prev_root_lin_vel=prev), pb2, terr2)
+
+    t = time_scan(plant_only, (carry, pb, terr), name="plant+sensors only",
+                  printer=functools.partial(print, flush=True))
+
+    for backend, cap, rescue, r_it in (
+            ("gj", 256, 0, 25), ("reduced", 256, 0, 25),
+            ("reduced", 256, 128, 25), ("reduced", 256, 128, 75),
+            ("reduced", 256, 192, 100)):
         t = time_scan(
             functools.partial(step, backend=backend, cap=cap,
-                              rescue=rescue),
+                              rescue=rescue, rescue_iters=r_it),
             (carry, pb, terr),
-            name=f"closed tick kkt={backend} cap={cap} rescue={rescue}",
+            name=(f"closed tick kkt={backend} cap={cap} rescue={rescue}"
+                  f"x{r_it}"),
             printer=functools.partial(print, flush=True))
         print(f"  -> {b / t:,.0f} solves/s", flush=True)
 
         @jax.jit
         def conv10(carry, pb, terr, backend=backend, cap=cap,
-                   rescue=rescue):
+                   rescue=rescue, r_it=r_it):
             def body(c, _):
                 cr, pb2, terr2 = c
                 from a1_qp_mpc_controller_tpu.parallel.batched import (
@@ -109,7 +144,7 @@ def main():
                     admm_backend="pallas_shared", kkt_block=32,
                     admm_block=64, kkt_backend=backend,
                     kkt_big_capacity=cap, rescue_capacity=rescue,
-                    return_stats=True)
+                    rescue_iters=r_it, return_stats=True)
                 return (cr, pb2, terr2), jnp.mean(
                     stats["converged"].astype(jnp.float32))
             return jax.lax.scan(body, (carry, pb, terr), None,

@@ -61,3 +61,23 @@ def test_stand_qp_force_trajectory_both_modes():
         assert not rep["nan"], mode
         assert rep["frac_within_tol"] == 1.0, (mode, rep)
         assert rep["max_dev_N"] < 1.5, (mode, rep)
+
+
+def test_stand_qp_lockstep_batched_gate_dense():
+    """The LOCK-STEP batched stand-QP route (fixed 100-iteration budget
+    + gathered adaptive flip rescue, parallel.batched.
+    batched_stand_control_tick) tracks the f64 optimum at EVERY tick of
+    a closed-loop gazebo_qp trot with staggered gait phases — dense
+    per-tick sampling, not the sparse windows that used to hide
+    post-flip transients (round-4 finding: flip-tick warm starts
+    satisfied the 1e-4 tolerance ~10 N off; cold-restart-on-flip +
+    rescue fixed it)."""
+    from a1_qp_mpc_controller_tpu.runtime.golden import (
+        run_stand_batched_gate,
+    )
+
+    rep = run_stand_batched_gate(seconds=1.0, sample_every=2, batch=3)
+    assert not rep["nan"]
+    assert rep["samples"] >= 300
+    assert rep["frac_within_tol"] == 1.0, rep
+    assert rep["max_dev_N"] < 1.0, rep

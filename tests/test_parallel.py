@@ -678,3 +678,85 @@ def test_rescue_pass_improves_convergence_keeps_converged_bits():
     r1 = np.maximum(np.asarray(st1["prim_res"]),
                     np.asarray(st1["dual_res"]))
     assert r1[~c0].max() < r0[~c0].max()
+
+
+def test_reduced_admm_tick_matches_single_through_contact_flip():
+    """Whole-solve reduction (kkt_backend='reduced_admm': inverse AND
+    fused ADMM at the gathered stance-block shape) reproduces
+    vmap(control_tick) through contact flips — the dead-variable
+    analysis says iterates match exactly, so the tolerance here is
+    tight."""
+    from a1_qp_mpc_controller_tpu.control.controller import control_tick
+
+    cfg, params = bench_cfg()
+    B = 2
+    pb, cs, mem, sens = batched.make_bench_state(
+        cfg, jax.random.PRNGKey(2), B, params)
+    cs = cs.replace(gait_counter=jnp.broadcast_to(
+        jnp.array([116.0, 236.0, 236.0, 116.0]), (B, 4)))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+    cs_a, mem_a = cs, mem
+    cs_b, mem_b = cs, mem
+    flipped = False
+    prev = np.asarray(cs.contacts)
+    for t in range(8):
+        cs_a, mem_a, tq_a = jax.vmap(
+            lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt))(
+            pb, cs_a, mem_a, sens)
+        cs_b, mem_b, tq_b = batched.batched_control_tick(
+            cfg, pb, cs_b, mem_b, sens, joy, dt,
+            admm_backend="pallas_shared", kkt_backend="reduced_admm",
+            kkt_reduced_nr=64, kkt_big_capacity=1,
+            admm_block=2, kkt_block=2, interpret=True)
+        cur = np.asarray(cs_b.contacts)
+        flipped = flipped or (cur != prev).any()
+        prev = cur
+        np.testing.assert_allclose(np.asarray(tq_b), np.asarray(tq_a),
+                                   atol=1e-4,
+                                   err_msg=f"diverged at tick {t}")
+    assert flipped, "test never crossed a contact flip"
+
+
+def test_reduced_admm_rescue_improves_worst_residual():
+    """The reduced-route rescue (rho-refactored continuation over
+    gathered unconverged/flipped scenarios) must not lose converged
+    scenarios and must improve the worst residual at a starved
+    budget."""
+    cfg, params = bench_cfg()
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=5)
+    B = 4
+    pb, cs, mem, sens = batched.make_bench_state(
+        cfg, jax.random.PRNGKey(3), B, params)
+    cs = cs.replace(gait_counter=jnp.broadcast_to(
+        jnp.array([118.0, 238.0, 238.0, 118.0]), (B, 4)))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+    for _ in range(3):
+        cs, mem, _ = batched.batched_control_tick(
+            cfg, pb, cs, mem, sens, joy, dt,
+            admm_backend="pallas_shared", kkt_backend="reduced_admm",
+            kkt_big_capacity=2, admm_block=2, kkt_block=2,
+            interpret=True)
+    _, _, _, st0 = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt,
+        admm_backend="pallas_shared", kkt_backend="reduced_admm",
+        kkt_big_capacity=2, admm_block=2, kkt_block=2,
+        return_stats=True, interpret=True)
+    _, _, _, st1 = batched.batched_control_tick(
+        cfg, pb, cs, mem, sens, joy, dt,
+        admm_backend="pallas_shared", kkt_backend="reduced_admm",
+        kkt_big_capacity=2, admm_block=2, kkt_block=2,
+        rescue_capacity=2, rescue_iters=200,
+        return_stats=True, interpret=True)
+    c0 = np.asarray(st0["converged"])
+    c1 = np.asarray(st1["converged"])
+    assert not c0.all(), "budget not starved enough"
+    assert c1.sum() >= c0.sum()
+    r0 = np.maximum(np.asarray(st0["prim_res"]),
+                    np.asarray(st0["dual_res"]))
+    r1 = np.maximum(np.asarray(st1["prim_res"]),
+                    np.asarray(st1["dual_res"]))
+    assert r1[~c0].max() < r0[~c0].max()

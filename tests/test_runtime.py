@@ -248,3 +248,27 @@ def test_merge_estimate_cs_preserves_planning_fields():
     np.testing.assert_allclose(np.asarray(merged.foot_pos_target_rel),
                                np.asarray(ctrl.foot_pos_target_rel))
     assert int(merged.movement_mode) == 1
+
+
+def test_cli_sim_time_precondition_refusal():
+    """Startup precondition parity (MainGazebo.cpp:31-37 /
+    MainHardware.cpp:30-37): a simulated-time executor refuses a
+    hardware (use_sim_time=false) profile and vice versa; the explicit
+    override flag proceeds."""
+    base = [sys.executable, "-m", "a1_qp_mpc_controller_tpu", "--cpu"]
+    out = subprocess.run(
+        base + ["sim", "--profile", "hardware_qp", "--seconds", "0.01"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0
+    assert "startup precondition" in out.stderr
+    out = subprocess.run(
+        base + ["wire", "--profile", "gazebo_mpc", "--seconds", "0.01"],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode != 0
+    assert "startup precondition" in out.stderr
+    # override proceeds past the check (and the tiny sim completes)
+    out = subprocess.run(
+        base + ["sim", "--profile", "hardware_qp", "--seconds", "0.05",
+                "--override-sim-time-check"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
