@@ -94,7 +94,8 @@ def cmd_realtime(args) -> None:
                             mpc_iters=args.mpc_iters,
                             solver_mode=args.solver_mode,
                             estimation_rate_hz=(500.0 if args.sensor_rate_ekf
-                                                else None))
+                                                else None),
+                            telemetry_jsonl=(args.telemetry_jsonl or None))
     joy = JoyCmd.zeros()
     if args.walk:
         joy = joy.replace(ctrl_state=jnp.int32(1),
@@ -207,6 +208,10 @@ def main() -> None:
     pr = sub.add_parser("realtime", help="wall-clock 400 Hz harness")
     common(pr)
     pr.add_argument("--walk", action="store_true")
+    pr.add_argument("--telemetry-jsonl", default="",
+                    help="live debug stream: append one JSON line of "
+                         "pose/contacts/GRF/torque state every 10 ticks "
+                         "(tail -f it — the rviz-topic stand-in)")
     pr.add_argument("--sensor-rate-ekf", action="store_true",
                     help="run the EKF at the 500 Hz sensor rate (the "
                          "reference's hardware receive-thread schedule)")

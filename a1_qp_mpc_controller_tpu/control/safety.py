@@ -54,8 +54,17 @@ def position_limit(tau: jnp.ndarray, joint_pos: jnp.ndarray,
 def power_protect(tau: jnp.ndarray, joint_vel: jnp.ndarray,
                   power_level: int = 5) -> jnp.ndarray:
     """Scale the whole torque vector down when estimated mechanical power
-    exceeds the level budget (Safety::PowerProtect semantics: level 1-10,
-    10 = full power). Budget ramps linearly to ~1 kW at level 10."""
+    exceeds the level budget (level 1-10, 10 = full power; budget ramps
+    linearly to ~1 kW at level 10).
+
+    HONESTY NOTE: this is an INVENTED torque-mode analog of the SDK's
+    ``Safety::PowerProtect`` (the reference calls it with a configurable
+    power_level, HardwareA1ROS.cpp:194-196). The SDK's actual semantics
+    (per-motor current/temperature model inside the closed-source
+    library) are not published; the linear ~100 W/level whole-body
+    mechanical-power budget here is a plausible stand-in, validated only
+    in simulation — recalibrate against the real SDK before any
+    hardware deployment."""
     level = jnp.clip(power_level, 1, 10)
     budget = 100.0 * level  # watts
     power = jnp.sum(jnp.abs(tau * joint_vel))

@@ -1292,8 +1292,11 @@ def _fused_admm_shared_kernel(a0_ref, a1_ref, minv_ref, d_ref,
         rhs = sigma * x - q + d * atw                          # (S,n)
         # symmetric Minv x-update: sum_i minv[i, j] rhs[i] over the
         # (possibly sublane-only-padded) row extent; padded minv COLS
-        # are zero so xt's padding stays exactly 0
-        xt = jnp.sum(m * rhs[:, :n_rows, None], axis=1)
+        # are zero so xt's padding stays exactly 0. NOTE: a basic-slice
+        # spelling rhs[:, :n_rows, None] mis-lowers to a gather inside
+        # the Mosaic kernel trace — use an explicit static lax.slice
+        rhs_rows = jax.lax.slice_in_dim(rhs, 0, n_rows, axis=1)
+        xt = jnp.sum(m * rhs_rows[:, :, None], axis=1)
         x1 = alpha * xt + (1.0 - alpha) * x
         xd = d * xt
         ax = (e * jax.lax.dot_general(xd, a0, contract_n,

@@ -128,7 +128,9 @@ class RealtimeRunner:
     def __init__(self, profile: str = "gazebo_mpc",
                  mpc_iters: int = 50, solver_mode: str = "fixed",
                  terrain: Optional[terrain_mod.Terrain] = None,
-                 estimation_rate_hz: Optional[float] = None):
+                 estimation_rate_hz: Optional[float] = None,
+                 telemetry_jsonl: Optional[str] = None,
+                 telemetry_every: int = 10):
         cfg, params = load_profile(profile)
         self.cfg: A1Config = dataclasses.replace(
             cfg, mpc_qp_iters=mpc_iters, mpc_solver_mode=solver_mode)
@@ -183,6 +185,41 @@ class RealtimeRunner:
             o0[2].block_until_ready()
         self.torques = jnp.zeros((12,), jnp.float32)
         self._latencies_ms: list = []
+        # live debug stream: one JSON line per N control ticks with the
+        # quantities the reference publishes as rviz/debug topics during
+        # a run (estimated pose, desired pose, contacts, GRFs, torques —
+        # A1RobotControl.cpp:60-146); `tail -f` is the rviz stand-in
+        self._telemetry_every = max(1, telemetry_every)
+        self._telemetry_fp = (open(telemetry_jsonl, "w")
+                              if telemetry_jsonl else None)
+        self._tick_count = 0
+
+    def _emit_telemetry(self) -> None:
+        if self._telemetry_fp is None:
+            return
+        self._tick_count += 1
+        if self._tick_count % self._telemetry_every:
+            return
+        import json
+        cs = self.cs
+        rec = {
+            "tick": self._tick_count,
+            "t_s": round(self._tick_count * float(self.cfg.control_dt),
+                         4),
+            "root_pos": np.asarray(cs.root_pos).round(4).tolist(),
+            "root_pos_d": np.asarray(cs.root_pos_d).round(4).tolist(),
+            "root_euler": np.asarray(cs.root_euler).round(4).tolist(),
+            "root_euler_d": np.asarray(cs.root_euler_d).round(4).tolist(),
+            "root_lin_vel": np.asarray(cs.root_lin_vel).round(4).tolist(),
+            "contacts": np.asarray(cs.contacts).astype(int).tolist(),
+            "foot_forces_grf": np.asarray(
+                cs.foot_forces_grf).round(2).tolist(),
+            "joint_torques": np.asarray(
+                cs.joint_torques).round(3).tolist(),
+            "terrain_pitch": round(float(cs.terrain_pitch_angle), 4),
+        }
+        self._telemetry_fp.write(json.dumps(rec) + "\n")
+        self._telemetry_fp.flush()
 
     # sensor producer: advance the plant with the latest torques and push
     def _produce(self, _tick_idx: int) -> None:
@@ -236,6 +273,7 @@ class RealtimeRunner:
         self.prev_vel = self.ps.root_lin_vel
         self.ps = plant_mod.plant_step(self.params, self.terrain, self.ps,
                                        torques, self.dt)
+        self._emit_telemetry()
 
     def _consume_noest(self, _tick_idx: int) -> None:
         """Control-rate thread in hardware-parity mode: consume the
@@ -248,6 +286,7 @@ class RealtimeRunner:
         torques.block_until_ready()
         self._latencies_ms.append((time.perf_counter() - t0) * 1e3)
         self.cs, self.mem, self.torques = cs, mem, torques
+        self._emit_telemetry()
 
     def run(self, seconds: float, joy: Optional[JoyCmd] = None) -> dict:
         if joy is not None:
@@ -274,4 +313,6 @@ class RealtimeRunner:
             stats["solve_p99_ms"] = lat[int(len(lat) * 0.99)]
         stats["ring_dropped"] = self.ring.dropped
         stats["root_pos"] = np.asarray(self.ps.root_pos).tolist()
+        if self._telemetry_fp is not None:
+            self._telemetry_fp.flush()
         return stats

@@ -272,3 +272,25 @@ def test_cli_sim_time_precondition_refusal():
                 "--override-sim-time-check"],
         capture_output=True, text=True, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
+
+
+def test_realtime_telemetry_jsonl_live_stream(tmp_path):
+    """--telemetry-jsonl live debug stream (the rviz-topic stand-in,
+    A1RobotControl.cpp:60-146): the runner appends valid JSON records of
+    pose/contacts/GRF/torque state during the run."""
+    import json
+
+    from a1_qp_mpc_controller_tpu.runtime.realtime import RealtimeRunner
+
+    out = tmp_path / "live.jsonl"
+    r = RealtimeRunner(mpc_iters=25, solver_mode="fixed",
+                       telemetry_jsonl=str(out), telemetry_every=5)
+    r.run(0.3)
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) >= 3, lines
+    rec = json.loads(lines[-1])
+    for k in ("tick", "t_s", "root_pos", "root_pos_d", "contacts",
+              "foot_forces_grf", "joint_torques"):
+        assert k in rec, k
+    assert len(rec["root_pos"]) == 3
+    assert len(rec["joint_torques"]) == 12
