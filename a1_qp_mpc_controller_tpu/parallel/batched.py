@@ -287,8 +287,8 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
     live_blk = jnp.tile(contacts, (1, h))            # (B, 4H) step-major
     n_live_blk = jnp.sum(live_blk, axis=1)
 
-    def run_rescue(sol, p_of, q_of, l_of, u_of, wx_unused, scal_of,
-                   a0, a1, mu_v, rho0_of, small_inverse):
+    def run_rescue(sol, p_of, q_of, l_of, u_of, scal_of,
+                   a0, a1, mu_v, small_inverse):
         """Gathered rescue with rho refactor; operands are the (possibly
         reduced) per-scenario problem the first pass solved."""
         need = (~sol.converged) | prob.flipped
@@ -333,8 +333,8 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
             minv, block=admm_block, interpret=interpret)
         if rescue_capacity > 0:
             sol = run_rescue(
-                sol, prob.p_mat, prob.q_vec, prob.lb, prob.ub, None,
-                scal, a0f, a1f, mu, prob.rho0,
+                sol, prob.p_mat, prob.q_vec, prob.lb, prob.ub,
+                scal, a0f, a1f, mu,
                 lambda m: batched_inverse(m, block=kkt_block,
                                           interpret=interpret))
         return sol
@@ -369,8 +369,7 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
             interpret=interpret)
         if rescue_capacity > 0:
             sol_r = run_rescue(
-                sol_r, p_r, q_r, l_r, u_r, None, scal_r, a0r, a1r, mu,
-                prob.rho0,
+                sol_r, p_r, q_r, l_r, u_r, scal_r, a0r, a1r, mu,
                 lambda m: batched_inverse_small(
                     m, block=max(admm_block, 32), interpret=interpret))
         # scatter the reduced solution back to full coordinates (dead
@@ -429,36 +428,43 @@ def batched_stand_control_tick(cfg: A1Config, params_b, cs_b, mem_b,
         fixed, x0=pr.warm_x, y0=pr.warm_y, rho0=pr.rho0))(prob)
 
     if rescue_capacity > 0:
-        score = jnp.where(sol.converged, 0.0,
-                          jnp.maximum(sol.prim_res, sol.dual_res))
-        cap = min(rescue_capacity, score.shape[0])
-        _, ridx = jax.lax.top_k(score, cap)
-        pr_r = jax.tree_util.tree_map(
-            lambda a: jnp.take(a, ridx, axis=0), prob)
         # fixed-budget rescue at a REFACTORED stepsize (the first
         # pass's rho estimate) and one-decade-tighter tolerance: near
         # flips the 1e-4 relative check can be satisfied a few N from
         # the optimum (|q| is large); 1e-5 pins the force to ~0.15 N
-        # (measured). A while_loop-adaptive rescue here measured 30 ms
-        # at batch 4096 (the gathered lock-step loop runs as long as
-        # its slowest scenario EVERY tick); the fixed budget is ~1.5 ms.
-        fixed_r = qpx.QPSettings(rho=grf._QP_RHO0, eps_abs=1e-5,
-                                 eps_rel=1e-5)
-        rho_r = jnp.clip(jnp.take(sol.rho, ridx, axis=0), 1e-3, 1.0)
-        sol_r = jax.vmap(lambda pr, x0, y0, r0: qpx.admm_solve_fixed(
-            pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, rescue_iters,
-            fixed_r, x0=x0, y0=y0, rho0=r0))(
-            pr_r, jnp.take(sol.x, ridx, axis=0),
-            jnp.take(sol.y, ridx, axis=0), rho_r)
-        unconv = ~jnp.take(sol.converged, ridx, axis=0)
+        # (measured). A while_loop-adaptive rescue measured 30 ms at
+        # batch 4096 (the gathered lock-step loop runs as long as its
+        # slowest scenario EVERY tick); the fixed budget is ~1.5 ms,
+        # and the whole pass is lax.cond-skipped on ticks where every
+        # scenario converged (the common case — the cold-restart-on-
+        # flip warm-start policy makes flip solves converge in budget).
+        def rescue(sol):
+            score = jnp.where(sol.converged, 0.0,
+                              jnp.maximum(sol.prim_res, sol.dual_res))
+            cap = min(rescue_capacity, score.shape[0])
+            _, ridx = jax.lax.top_k(score, cap)
+            pr_r = jax.tree_util.tree_map(
+                lambda a: jnp.take(a, ridx, axis=0), prob)
+            fixed_r = qpx.QPSettings(rho=grf._QP_RHO0, eps_abs=1e-5,
+                                     eps_rel=1e-5)
+            rho_r = jnp.clip(jnp.take(sol.rho, ridx, axis=0), 1e-3, 1.0)
+            sol_r = jax.vmap(lambda pr, x0, y0, r0: qpx.admm_solve_fixed(
+                pr.p_mat, pr.q_vec, pr.a_mat, pr.lb, pr.ub, rescue_iters,
+                fixed_r, x0=x0, y0=y0, rho0=r0))(
+                pr_r, jnp.take(sol.x, ridx, axis=0),
+                jnp.take(sol.y, ridx, axis=0), rho_r)
+            unconv = ~jnp.take(sol.converged, ridx, axis=0)
 
-        def merge(orig, new):
-            keep = unconv.reshape((cap,) + (1,) * (new.ndim - 1))
-            patched = jnp.where(keep, new,
-                                jnp.take(orig, ridx, axis=0))
-            return orig.at[ridx].set(patched)
+            def merge(orig, new):
+                keep = unconv.reshape((cap,) + (1,) * (new.ndim - 1))
+                patched = jnp.where(keep, new,
+                                    jnp.take(orig, ridx, axis=0))
+                return orig.at[ridx].set(patched)
 
-        sol = jax.tree_util.tree_map(merge, sol, sol_r)
+            return jax.tree_util.tree_map(merge, sol, sol_r)
+
+        sol = jax.lax.cond(jnp.all(sol.converged), lambda s: s, rescue,
+                           sol)
 
     out = jax.vmap(
         lambda p, c, m, s: control_tick_finish_qp(cfg, p, c, m, s)

@@ -44,16 +44,18 @@ def main():
         print(f"{k}: {rep}", flush=True)
         report[k] = rep
 
-    rep = run_gate(seconds=10.0, sample_every=1, verbose=False)
-    rep["config"] = ("gazebo_mpc flat trot 0.3 m/s, adaptive solver, "
+    rep = run_gate(seconds=10.0, sample_every=1, verbose=False,
+                   mpc_iters=1000)
+    rep["config"] = ("gazebo_mpc flat trot 0.3 m/s, adaptive solver "
+                     "(max 1000 it; OSQP's default budget is 4000), "
                      "10 s, DENSE per-tick sampling")
     log("adaptive", rep)
 
     rep = run_gate(seconds=10.0, sample_every=1, verbose=False,
-                   solver_mode="fixed", mpc_iters=25, rescue_iters=25)
+                   solver_mode="fixed", mpc_iters=25, rescue_iters=75)
     rep["config"] = ("gazebo_mpc flat trot 0.3 m/s, SHIPPED bench "
-                     "config: fixed 25 it + 25-it flip rescue, 10 s, "
-                     "DENSE per-tick sampling")
+                     "config: fixed 25 it + 75-it rho-refactored flip "
+                     "rescue, 10 s, DENSE per-tick sampling")
     log("fixed_25it_rescue", rep)
 
     rep = run_gate(seconds=10.0, sample_every=1, verbose=False,
