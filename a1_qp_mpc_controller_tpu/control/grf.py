@@ -32,6 +32,9 @@ from a1_qp_mpc_controller_tpu.utils.filters import filter_update_masked
 # fixed iterations, where the pinned family stalled at ~100 N.
 _MPC_RHO0 = 3e-3
 _QP_RHO0 = 0.1
+# post-flip rescue window (ticks): force deviations decay over ~4 ticks
+# after a contact flip while the relative tolerance reports converged
+FLIP_COOLDOWN_TICKS = 4
 
 
 def scaling_for_contacts(table, contacts: jnp.ndarray):
@@ -215,9 +218,10 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                         qpx.QPSettings(rho=_MPC_RHO0), x0=s.x, y0=s.y,
                         rho0=rho_r, scaling=scal)
 
-                # flip ticks are rescued even when nominally converged
-                # (the loose relative tolerance admits a few N there)
-                sol = jax.lax.cond(sol.converged & ~prob.flipped,
+                # flip and post-flip-window ticks are rescued even
+                # when nominally converged (the loose relative
+                # tolerance admits a few N there)
+                sol = jax.lax.cond(sol.converged & ~prob.rescue_flag,
                                    lambda s: s, _rescue, sol)
         else:
             sol = qpx.admm_solve(
@@ -227,6 +231,21 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                                check_every=cfg.qp_check_every),
                 x0=prob.warm_x, y0=prob.warm_y, rho0=prob.rho0,
                 scaling=scal)
+            # tail polish: 75 more fixed iterations past the tolerance
+            # exit. The MPC cost is near-flat in internal-force
+            # directions (r_weights ~1e-7, a preserved reference
+            # quirk), so the 1e-5 RELATIVE tolerance can be satisfied
+            # several N from the optimum (measured round 4: a fresh
+            # converged-at-1e-5 solve 3.8 N off; +75 iterations pins it
+            # to ~0.02 N; even float64 at 1e-5 sits 1 N off). The
+            # reference's OSQP at its default 1e-3 ships far more
+            # flat-direction slack — this pass makes the adaptive mode
+            # strictly MORE accurate than the reference, at ~0.15 ms
+            # single-scenario cost.
+            sol = qpx.admm_solve_fixed(
+                prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
+                75, qpx.QPSettings(rho=_MPC_RHO0), x0=sol.x, y0=sol.y,
+                rho0=prob.rho0, scaling=scal)
         return mpc_apply_solution(cfg, cs, mem, sol)
 
 
@@ -328,11 +347,15 @@ class MpcProblem(struct.PyTreeNode):
     warm_x: jnp.ndarray  # (120,)
     warm_y: jnp.ndarray  # (200,)
     rho0: jnp.ndarray    # ()
-    flipped: jnp.ndarray  # () bool — any contact flip this tick (flip
-    #                        ticks are rescue-eligible even when the
-    #                        loose relative tolerance reports converged:
-    #                        measured up to ~5 N force deviation at
-    #                        "converged" flip solves, round 4)
+    flipped: jnp.ndarray  # () bool — any contact flip THIS tick
+    rescue_flag: jnp.ndarray  # () bool — rescue-eligible: flipped OR
+    #                        within the post-flip cooldown window. Flip
+    #                        and post-flip solves can satisfy the loose
+    #                        relative tolerance several N off-optimum
+    #                        (the error decays over ~4 ticks as the
+    #                        warm start heals — measured round 4), so
+    #                        the rescue pass stays armed through the
+    #                        window even when 'converged'.
 
 
 def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
@@ -429,6 +452,7 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
     rho0 = jnp.where(jnp.any(leg_flip),
                      jnp.asarray(_MPC_RHO0, dtype), rho0)
     flipped = jnp.any(leg_flip) & mem.mpc_warm_started
+    rescue_flag = flipped | (mem.mpc_flip_cooldown > 0)
     if cfg.mpc_solver_mode != "fixed":
         # adaptive mode: COLD restart on flip ticks. Measured (round 4,
         # dense per-tick golden sampling): the masked+rescaled warm
@@ -443,7 +467,7 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
         warm_y = jnp.where(flipped, 0.0, warm_y)
     return MpcProblem(p_mat=p_mat, q_vec=q_vec, a_mat=a_mat, lb=lb, ub=ub,
                       warm_x=warm_x, warm_y=warm_y, rho0=rho0,
-                      flipped=flipped)
+                      flipped=flipped, rescue_flag=rescue_flag)
 
 
 def mpc_apply_solution(cfg: A1Config, cs: CtrlState, mem: CtrlMem,
@@ -457,10 +481,14 @@ def mpc_apply_solution(cfg: A1Config, cs: CtrlState, mem: CtrlMem,
     # to ~1e-6 — the next disturbed tick then cannot restore primal
     # feasibility within a fixed budget (rp ~ 4 N with rd ~ 1e-6)
     rho_carry = jnp.clip(sol.rho, 0.1 * _MPC_RHO0, 100.0 * _MPC_RHO0)
+    flipped_now = jnp.any(cs.contacts != mem.mpc_prev_contacts)
+    cooldown = jnp.where(flipped_now, jnp.int32(FLIP_COOLDOWN_TICKS),
+                         jnp.maximum(mem.mpc_flip_cooldown - 1, 0))
     mem = mem.replace(mpc_warm_x=sol.x, mpc_warm_y=sol.y,
                       mpc_rho=rho_carry,
                       mpc_warm_started=jnp.asarray(True),
-                      mpc_prev_contacts=cs.contacts)
+                      mpc_prev_contacts=cs.contacts,
+                      mpc_flip_cooldown=cooldown)
     forces_world = sol.x[:12].reshape(NUM_LEG, 3)
     forces_body = jnp.einsum("ba,lb->la", cs.root_rot_mat, forces_world)
     bad = jnp.isnan(jnp.sum(forces_body, axis=1))

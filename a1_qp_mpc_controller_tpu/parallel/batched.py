@@ -167,7 +167,7 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
             # inverse — the rescue reuses rho0, so no refactorization),
             # and scatter back. Already-converged scenarios keep their
             # bit-identical first-pass solution.
-            need = (~sol.converged) | prob.flipped
+            need = (~sol.converged) | prob.rescue_flag
             score = need.astype(prob.q_vec.dtype) * (
                 1.0 + jnp.maximum(sol.prim_res, sol.dual_res))
             cap = min(rescue_capacity, score.shape[0])
@@ -291,7 +291,7 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
                    a0, a1, mu_v, small_inverse):
         """Gathered rescue with rho refactor; operands are the (possibly
         reduced) per-scenario problem the first pass solved."""
-        need = (~sol.converged) | prob.flipped
+        need = (~sol.converged) | prob.rescue_flag
         score = need.astype(dtype) * (
             1.0 + jnp.maximum(sol.prim_res, sol.dual_res))
         cap = min(rescue_capacity, b)

@@ -240,6 +240,10 @@ class CtrlMem(struct.PyTreeNode):
     mpc_warm_started: jnp.ndarray               # () bool
     mpc_prev_contacts: jnp.ndarray              # (4,) bool: contact pattern
     #   of the previous solve — a flip invalidates the dual warm start
+    mpc_flip_cooldown: jnp.ndarray              # () int32: ticks remaining
+    #   in the post-flip rescue window (force deviations decay over ~4
+    #   ticks after a flip while the relative tolerance reports
+    #   converged — measured round 4; the rescue pass stays armed)
     qp_warm_x: jnp.ndarray                      # (12,) stand-QP warm start
     qp_warm_y: jnp.ndarray                      # (20,) (fixed mode only —
     #   adaptive keeps the reference's fresh-solver-per-tick semantics,
@@ -285,6 +289,7 @@ class CtrlMem(struct.PyTreeNode):
             mpc_rho=jnp.asarray(1e-4, dtype),
             mpc_warm_started=jnp.asarray(False),
             mpc_prev_contacts=jnp.ones((NUM_LEG,), bool),
+            mpc_flip_cooldown=jnp.int32(0),
             tick=jnp.int32(0),
             ekf=EKFState(x=jnp.zeros((18,), dtype),
                          P=3.0 * jnp.eye(18, dtype=dtype),

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 PER_CHIP_TARGET = 100_000 / 16  # BASELINE.json: 100k solves/s on v5e-16
 
 RESCUE_CAPACITY = 128
-RESCUE_ITERS = 75
+RESCUE_ITERS = 150
 
 
 def log(*a):

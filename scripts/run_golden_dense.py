@@ -52,9 +52,9 @@ def main():
     log("adaptive", rep)
 
     rep = run_gate(seconds=10.0, sample_every=1, verbose=False,
-                   solver_mode="fixed", mpc_iters=25, rescue_iters=75)
+                   solver_mode="fixed", mpc_iters=25, rescue_iters=150)
     rep["config"] = ("gazebo_mpc flat trot 0.3 m/s, SHIPPED bench "
-                     "config: fixed 25 it + 75-it rho-refactored flip "
+                     "config: fixed 25 it + 150-it rho-refactored flip+cooldown "
                      "rescue, 10 s, DENSE per-tick sampling")
     log("fixed_25it_rescue", rep)
 
