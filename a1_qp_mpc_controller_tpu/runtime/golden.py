@@ -88,7 +88,8 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
              profile: str = "gazebo_mpc",
              terrain: Optional[terrain_mod.Terrain] = None,
              tol_newton: float = 2.0, verbose: bool = True,
-             rescue_iters: int = 0) -> dict:
+             rescue_iters: int = 0,
+             ref_fidelity_baseline: bool = False) -> dict:
     cfg, params = load_profile(profile)
     cfg = dataclasses.replace(cfg, mpc_qp_iters=mpc_iters,
                               mpc_solver_mode=solver_mode,
@@ -104,6 +105,7 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
     prev = carry.prev_root_lin_vel
     devs = []
     ref_mags = []
+    ref_devs = []   # reference-fidelity baseline (OSQP default eps)
     for t in range(n_steps):
         j = jtu.tree_map(lambda a: a[t], joy)
         sensors = plant_mod.read_sensors(params, ps, prev, dt)
@@ -127,6 +129,24 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
             dev = np.abs(f_ours.T - f_ref).max()
             devs.append(dev)
             ref_mags.append(np.abs(f_ref).max())
+            if ref_fidelity_baseline:
+                # how far the REFERENCE's solver itself sits from the
+                # exact optimum: the same instance solved (in float64,
+                # so generously) at OSQP's DEFAULT tolerances eps_abs =
+                # eps_rel = 1e-3 — the settings the reference ships
+                # (it sets neither, A1RobotControl.cpp:522-540). The
+                # near-flat internal-force directions let a
+                # tolerance-converged solve sit far from the optimum;
+                # this column shows how much of that slack the
+                # reference itself accepts every tick.
+                x3, _, _, _ = qp_ref.solve_qp_ref(
+                    np.asarray(p_mat, np.float64),
+                    np.asarray(q_vec, np.float64),
+                    np.asarray(a_mat, np.float64),
+                    np.asarray(lb, np.float64),
+                    np.asarray(ub, np.float64), eps=1e-3)
+                ref_devs.append(
+                    np.abs(x3[:12].reshape(4, 3) - f_ref).max())
             if verbose and len(devs) % 10 == 1:
                 print(f"  t={t * cfg.control_dt:.2f}s dev={dev:.3f} N "
                       f"(ref max {ref_mags[-1]:.0f} N)", file=sys.stderr)
@@ -142,6 +162,13 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
         "final_z_m": float(ps.root_pos[2]),
         "nan": bool(np.isnan(np.asarray(ps.root_pos)).any()),
     }
+    if ref_devs:
+        rd = np.array(ref_devs)
+        report["ref_osqp_default_max_dev_N"] = float(rd.max())
+        report["ref_osqp_default_p95_dev_N"] = float(
+            np.percentile(rd, 95))
+        report["ref_osqp_default_frac_within_tol"] = float(
+            (rd <= tol_newton).mean())
     return report
 
 

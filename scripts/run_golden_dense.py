@@ -52,7 +52,8 @@ def main():
     log("adaptive", rep)
 
     rep = run_gate(seconds=10.0, sample_every=1, verbose=False,
-                   solver_mode="fixed", mpc_iters=25, rescue_iters=150)
+                   solver_mode="fixed", mpc_iters=25, rescue_iters=150,
+                   ref_fidelity_baseline=True)
     rep["config"] = ("gazebo_mpc flat trot 0.3 m/s, SHIPPED bench "
                      "config: fixed 25 it + 150-it rho-refactored flip+cooldown "
                      "rescue, 10 s, DENSE per-tick sampling")
