@@ -210,8 +210,13 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
                 # rescued ticks. Single-scenario form of the batched
                 # gathered rescue (parallel.batched rescue_capacity).
                 def _rescue(s):
-                    rho_r = jnp.clip(s.rho, 0.1 * _MPC_RHO0,
-                                     100.0 * _MPC_RHO0)
+                    # refactor rho only when the first pass failed (a
+                    # rho jump transiently raises residuals; converged
+                    # cooldown-window rescues just continue)
+                    rho_r = jnp.where(
+                        s.converged, prob.rho0,
+                        jnp.clip(s.rho, 0.1 * _MPC_RHO0,
+                                 100.0 * _MPC_RHO0))
                     return qpx.admm_solve_fixed(
                         prob.p_mat, prob.q_vec, prob.a_mat, prob.lb,
                         prob.ub, cfg.mpc_rescue_iters,

@@ -299,12 +299,19 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
         tk = lambda a: jnp.take(a, ridx, axis=0)
         scal_r = qpx.Scaling(d=tk(scal_of.d), e=tk(scal_of.e),
                              c=tk(scal_of.c))
-        # refactored stepsize: first-pass estimate, clamped to the
-        # healthy band of the cost-normalized family (see
-        # grf.mpc_apply_solution)
+        # refactored stepsize for UNCONVERGED scenarios only (first-pass
+        # rho estimate, clamped to the healthy band of the
+        # cost-normalized family — stalls are primal-dominant because
+        # the carried rho lags). Scenarios rescued for force accuracy
+        # (converged, but inside the post-flip cooldown window) keep
+        # their original rho: a rho jump transiently RAISES residuals
+        # and was measured to flip previously-converged scenarios to
+        # unconverged after the pass.
         from a1_qp_mpc_controller_tpu.control import grf as grf_mod
-        rho_r = jnp.clip(tk(sol.rho), 0.1 * grf_mod._MPC_RHO0,
-                         100.0 * grf_mod._MPC_RHO0)
+        conv_g = jnp.take(sol.converged, ridx, axis=0)
+        rho_est = jnp.clip(tk(sol.rho), 0.1 * grf_mod._MPC_RHO0,
+                           100.0 * grf_mod._MPC_RHO0)
+        rho_r = jnp.where(conv_g, tk(prob.rho0), rho_est)
         m_r = qpx.scaled_kkt_matrix_blockdiag(
             tk(p_of), base_blk, slope_blk, tk(mu_v), tk(l_of), tk(u_of),
             settings, rho_r, scal_r)
@@ -313,7 +320,13 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
             tk(p_of), tk(q_of), a0, a1, tk(mu_v), tk(l_of), tk(u_of),
             rescue_iters, settings, tk(sol.x), tk(sol.y), rho_r, scal_r,
             minv_r, block=admm_block, interpret=interpret)
-        sel = jnp.take(need, ridx, axis=0)
+        # accept the rescue only where it did not worsen the residual
+        # picture: rescued-for-accuracy scenarios must never regress
+        # the reported convergence
+        res_o = jnp.maximum(tk(sol.prim_res), tk(sol.dual_res))
+        res_n = jnp.maximum(sol_r.prim_res, sol_r.dual_res)
+        sel = jnp.take(need, ridx, axis=0) & (
+            (~conv_g) | sol_r.converged | (res_n < res_o))
 
         def merge(orig, new):
             keep = sel.reshape((cap,) + (1,) * (new.ndim - 1))

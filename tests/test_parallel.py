@@ -760,3 +760,29 @@ def test_reduced_admm_rescue_improves_worst_residual():
     r1 = np.maximum(np.asarray(st1["prim_res"]),
                     np.asarray(st1["dual_res"]))
     assert r1[~c0].max() < r0[~c0].max()
+
+
+def test_closed_loop_batched_step_runs_and_stays_up():
+    """batched_closed_loop_step (the round-4 bench unit: plant sensor
+    read -> hoisted-Pallas tick -> plant step) holds the batch standing
+    and returns stats when asked."""
+    cfg, params = bench_cfg()
+    B = 2
+    pb, terr, carry = batched.make_flat_batch(
+        cfg, jax.random.PRNGKey(0), B, params)
+    joy = JoyCmd.zeros()
+    dt = jnp.float32(cfg.control_dt)
+    for _ in range(3):
+        carry = batched.batched_closed_loop_step(
+            cfg, pb, terr, carry, joy, dt,
+            admm_backend="pallas_shared", kkt_backend="reduced_admm",
+            kkt_big_capacity=1, admm_block=2, kkt_block=2,
+            rescue_capacity=1, interpret=True)
+    carry, stats = batched.batched_closed_loop_step(
+        cfg, pb, terr, carry, joy, dt,
+        admm_backend="pallas_shared", kkt_backend="reduced_admm",
+        kkt_big_capacity=1, admm_block=2, kkt_block=2,
+        rescue_capacity=1, return_stats=True, interpret=True)
+    z = np.asarray(carry.ps.root_pos[:, 2])
+    assert np.isfinite(z).all() and (z > 0.2).all() and (z < 0.4).all()
+    assert stats["converged"].shape == (B,)
