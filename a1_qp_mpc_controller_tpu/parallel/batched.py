@@ -50,11 +50,14 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     ``admm_backend='pallas'`` runs the ADMM iterations in the fused
     scenario-resident Pallas kernel (ops/pallas_kernels.fused_admm)
     with ``admm_block`` scenarios per grid step.
-    ``kkt_backend`` picks the inverse kernel on the 'pallas_shared'
-    route: 'reduced' (contact-pattern shape reduction — live-block
-    gather to a static ``kkt_reduced_nr``-var Gauss-Jordan, full-size
-    kernel only on the ``kkt_big_capacity`` scenarios with the most
-    stance legs, overflow-safe; see ops/qp.reduced_kkt_inverse), 'gj'
+    ``kkt_backend`` picks the solver route under 'pallas_shared':
+    'reduced_admm' (PRODUCTION: contact-pattern shape reduction of the
+    WHOLE solve — KKT inverse AND fused-ADMM iterations at the gathered
+    stance-block size, with rescue passes; _reduced_shared_solve),
+    'reduced' (shape reduction of the inverse only — live-block gather
+    to a static ``kkt_reduced_nr``-var Gauss-Jordan, full-size kernel
+    only on the ``kkt_big_capacity`` scenarios with the most stance
+    legs, overflow-safe; see ops/qp.reduced_kkt_inverse), 'gj'
     (flat batch-leading Gauss-Jordan at full size), 'chol' (pure-XLA
     blocked Cholesky — numerically strongest, ~30% slower), 'sweep_t' /
     'gj_t' (transposed batch-in-lanes kernels — retired negative
@@ -391,11 +394,16 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
             # unconverged after one refactored continuation get their
             # rho re-estimated AGAIN from the post-rescue iterate —
             # the iterative rho adaptation OSQP performs, paid only by
-            # the stragglers (~0.3 ms at capacity/4)
-            sol_r = run_rescue(sol_r, p_r, q_r, l_r, u_r, scal_r,
-                               a0r, a1r, mu, small_inv,
-                               cap_override=max(8, rescue_capacity // 4),
-                               unconverged_only=True)
+            # the stragglers (~0.3 ms at capacity/4) and lax.cond-
+            # skipped entirely on the common all-converged tick
+            sol_r = jax.lax.cond(
+                jnp.all(sol_r.converged), lambda s: s,
+                lambda s: run_rescue(
+                    s, p_r, q_r, l_r, u_r, scal_r, a0r, a1r, mu,
+                    small_inv,
+                    cap_override=max(8, rescue_capacity // 4),
+                    unconverged_only=True),
+                sol_r)
         # scatter the reduced solution back to full coordinates (dead
         # entries are exactly 0 in the equivalent full solve)
         oh_r = jax.nn.one_hot(row_idx, m_rows, dtype=dtype)

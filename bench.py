@@ -494,8 +494,9 @@ def main():
             "admm_iters_per_solve": 25,
             "rescue": {"capacity": RESCUE_CAPACITY,
                        "iters": RESCUE_ITERS,
-                       "trigger": "unconverged or contact-flip, "
-                                  "rho-refactored"},
+                       "trigger": "unconverged, contact-flip, or 4-tick"
+                                  " post-flip cooldown; rho-refactored;"
+                                  " second straggler round at cap/4"},
             "batched_backend": "pallas_shared",
             "kkt_backend": best_kkt,
             "converged_frac_osqp_tol": best_conv,

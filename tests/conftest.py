@@ -39,3 +39,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Clear jax's in-process compilation caches at module boundaries.
+
+    The rare backend_compile_and_load segfault above became reliably
+    reproducible once the suite grew past ~130 tests in one process
+    (round 4: three consecutive full runs died inside compile, each at
+    a different test, while every test passes in isolation and in
+    half-suite shards). Dropping the accumulated executables between
+    modules keeps the compile session short; the per-module recompiles
+    cost ~1 min across the suite."""
+    yield
+    jax.clear_caches()

@@ -765,24 +765,44 @@ def test_reduced_admm_rescue_improves_worst_residual():
 def test_closed_loop_batched_step_runs_and_stays_up():
     """batched_closed_loop_step (the round-4 bench unit: plant sensor
     read -> hoisted-Pallas tick -> plant step) holds the batch standing
-    and returns stats when asked."""
-    cfg, params = bench_cfg()
-    B = 2
-    pb, terr, carry = batched.make_flat_batch(
-        cfg, jax.random.PRNGKey(0), B, params)
-    joy = JoyCmd.zeros()
-    dt = jnp.float32(cfg.control_dt)
-    for _ in range(3):
-        carry = batched.batched_closed_loop_step(
-            cfg, pb, terr, carry, joy, dt,
-            admm_backend="pallas_shared", kkt_backend="reduced_admm",
-            kkt_big_capacity=1, admm_block=2, kkt_block=2,
-            rescue_capacity=1, interpret=True)
-    carry, stats = batched.batched_closed_loop_step(
-        cfg, pb, terr, carry, joy, dt,
-        admm_backend="pallas_shared", kkt_backend="reduced_admm",
-        kkt_big_capacity=1, admm_block=2, kkt_block=2,
-        rescue_capacity=1, return_stats=True, interpret=True)
-    z = np.asarray(carry.ps.root_pos[:, 2])
-    assert np.isfinite(z).all() and (z > 0.2).all() and (z < 0.4).all()
-    assert stats["converged"].shape == (B,)
+    and returns stats when asked. Runs in a SUBPROCESS: compiling this
+    program after a long in-process test session deterministically hits
+    the jaxlib-0.9.0 backend_compile_and_load segfault (CLAUDE.md);
+    in a fresh process it is solid."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import numpy as np\n"
+        "import jax.numpy as jnp\n"
+        "import dataclasses\n"
+        "from a1_qp_mpc_controller_tpu.config import load_profile\n"
+        "from a1_qp_mpc_controller_tpu.parallel import batched\n"
+        "from a1_qp_mpc_controller_tpu.types import JoyCmd\n"
+        "cfg, params = load_profile('gazebo_mpc')\n"
+        "cfg = dataclasses.replace(cfg, mpc_qp_iters=25, "
+        "mpc_solver_mode='fixed')\n"
+        "B = 2\n"
+        "pb, terr, carry = batched.make_flat_batch("
+        "cfg, jax.random.PRNGKey(0), B, params)\n"
+        "joy = JoyCmd.zeros()\n"
+        "dt = jnp.float32(cfg.control_dt)\n"
+        "kw = dict(admm_backend='pallas_shared', "
+        "kkt_backend='reduced_admm', kkt_big_capacity=1, admm_block=2, "
+        "kkt_block=2, rescue_capacity=1, interpret=True)\n"
+        "for _ in range(3):\n"
+        "    carry = batched.batched_closed_loop_step("
+        "cfg, pb, terr, carry, joy, dt, **kw)\n"
+        "carry, stats = batched.batched_closed_loop_step("
+        "cfg, pb, terr, carry, joy, dt, return_stats=True, **kw)\n"
+        "z = np.asarray(carry.ps.root_pos[:, 2])\n"
+        "assert np.isfinite(z).all() and (z > 0.2).all() "
+        "and (z < 0.4).all(), z\n"
+        "assert stats['converged'].shape == (B,)\n"
+        "print('CLOSED_LOOP_OK')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "CLOSED_LOOP_OK" in out.stdout
