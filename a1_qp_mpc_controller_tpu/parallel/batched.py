@@ -324,7 +324,7 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
         sol_r = qpx.admm_solve_fixed_batched_shared(
             tk(p_of), tk(q_of), a0, a1, tk(mu_v), tk(l_of), tk(u_of),
             rescue_iters, settings, tk(sol.x), tk(sol.y), rho_r, scal_r,
-            minv_r, block=admm_block, interpret=interpret)
+            minv_r, block=min(admm_block, 64), interpret=interpret)
         # accept the rescue only where it did not worsen the residual
         # picture: rescued-for-accuracy scenarios must never regress
         # the reported convergence
@@ -340,6 +340,13 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
 
         return jax.tree_util.tree_map(merge, sol, sol_r)
 
+    # the FULL-size branch caps its admm block at 64: the fused kernel's
+    # per-block VMEM at (block, 120, 128) minv + (block, 256) operands
+    # exceeds the 16 MB scoped limit at block 128 (measured OOM); the
+    # reduced shape is half that, so the reduced branch may use larger
+    # blocks
+    full_admm_block = min(admm_block, 64)
+
     def full_path():
         m_b = qpx.scaled_kkt_matrix_blockdiag(
             prob.p_mat, base_blk, slope_blk, mu, prob.lb, prob.ub,
@@ -348,7 +355,7 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
         sol = qpx.admm_solve_fixed_batched_shared(
             prob.p_mat, prob.q_vec, a0f, a1f, mu, prob.lb, prob.ub,
             iters, settings, prob.warm_x, prob.warm_y, prob.rho0, scal,
-            minv, block=admm_block, interpret=interpret)
+            minv, block=full_admm_block, interpret=interpret)
         if rescue_capacity > 0:
             sol = run_rescue(
                 sol, prob.p_mat, prob.q_vec, prob.lb, prob.ub,

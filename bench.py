@@ -65,8 +65,12 @@ def build():
 
 
 def _tick_kwargs(kkt_backend: str) -> dict:
+    # reduced-shape kernels fit admm_block=128 in scoped VMEM (the
+    # route caps its full-size fallback branch at 64 internally);
+    # full-size backends OOM above 64
+    ablock = 128 if kkt_backend == "reduced_admm" else 64
     return dict(admm_backend="pallas_shared", kkt_block=32,
-                admm_block=64, kkt_backend=kkt_backend,
+                admm_block=ablock, kkt_backend=kkt_backend,
                 kkt_big_capacity=256, rescue_capacity=RESCUE_CAPACITY,
                 rescue_iters=RESCUE_ITERS)
 
