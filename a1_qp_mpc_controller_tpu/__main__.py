@@ -133,7 +133,9 @@ def cmd_golden(args) -> None:
     _assert_time_source(load_profile(args.profile)[0], args.profile,
                         "golden", args.override_sim_time_check)
     rep = run_gate(seconds=args.seconds, sample_every=args.sample_every,
-                   velx=args.velx, terrain=_parse_terrain(args.terrain))
+                   velx=args.velx, terrain=_parse_terrain(args.terrain),
+                   profile=args.profile,
+                   solver_mode=args.solver_mode, mpc_iters=args.mpc_iters)
     print(json.dumps(rep, indent=2))
     if rep["nan"] or rep["frac_within_tol"] < 1.0:
         sys.exit(1)

@@ -486,7 +486,11 @@ def mpc_apply_solution(cfg: A1Config, cs: CtrlState, mem: CtrlMem,
     # to ~1e-6 — the next disturbed tick then cannot restore primal
     # feasibility within a fixed budget (rp ~ 4 N with rd ~ 1e-6)
     rho_carry = jnp.clip(sol.rho, 0.1 * _MPC_RHO0, 100.0 * _MPC_RHO0)
-    flipped_now = jnp.any(cs.contacts != mem.mpc_prev_contacts)
+    # gate on warm_started like mpc_problem's flip detection: the init
+    # prev_contacts are all-ones, so the first real tick would
+    # otherwise spuriously arm the cooldown
+    flipped_now = (jnp.any(cs.contacts != mem.mpc_prev_contacts)
+                   & mem.mpc_warm_started)
     cooldown = jnp.where(flipped_now, jnp.int32(FLIP_COOLDOWN_TICKS),
                          jnp.maximum(mem.mpc_flip_cooldown - 1, 0))
     mem = mem.replace(mpc_warm_x=sol.x, mpc_warm_y=sol.y,

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from a1_qp_mpc_controller_tpu.utils import mathx
+
 _HIGH = jax.lax.Precision.HIGHEST
 
 MIN_SCALING = 1e-4
@@ -393,26 +395,6 @@ def scaled_kkt_matrix(P: jnp.ndarray, q: jnp.ndarray, A: jnp.ndarray,
     return _kkt_matrix(sp.P, sp.A, rho_vec, settings.sigma)
 
 
-def _inv3x3_spd(m: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form adjugate inverse of SPD 3x3 blocks, batched over any
-    leading axes: (..., 3, 3) -> (..., 3, 3)."""
-    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    d, e, f = m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]
-    co00 = d * f - e * e
-    co01 = c * e - b * f
-    co02 = b * e - c * d
-    co11 = a * f - c * c
-    co12 = b * c - a * e
-    co22 = a * d - b * b
-    det = a * co00 + b * co01 + c * co02
-    inv_det = 1.0 / det
-    row0 = jnp.stack([co00, co01, co02], axis=-1)
-    row1 = jnp.stack([co01, co11, co12], axis=-1)
-    row2 = jnp.stack([co02, co12, co22], axis=-1)
-    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None,
-                                                           None]
-
-
 @partial(jax.jit, static_argnames=("n_r", "big_capacity", "block",
                                    "small_block", "interpret"))
 def reduced_kkt_inverse(m_b: jnp.ndarray, live: jnp.ndarray,
@@ -484,7 +466,7 @@ def reduced_kkt_inverse(m_b: jnp.ndarray, live: jnp.ndarray,
         m5 = m_b.reshape(b, nblk, 3, nblk, 3)
         diag_blocks = jnp.einsum("btitj->btij", m5)         # (B,T,3,3)
         dead_blk = (~live[:, ::3]).astype(dtype)            # (B, T)
-        dinv = _inv3x3_spd(diag_blocks) * dead_blk[:, :, None, None]
+        dinv = mathx.inv3_spd(diag_blocks) * dead_blk[:, :, None, None]
         eye_t = jnp.eye(nblk, dtype=dtype)
         out = out + (dinv[:, :, :, None, :]
                      * eye_t[None, :, None, :, None]).reshape(b, n, n)

@@ -73,12 +73,12 @@ def multihost_init(coordinator_address: Optional[str] = None,
     tests/test_distributed.py, 2 processes x 4 virtual devices)."""
     if coordinator_address is not None:
         # NOTE: must not touch the backend before initialize() (even
-        # jax.default_backend() would initialize XLA) — inspect the
-        # configured platform string instead
-        platforms = jax.config.jax_platforms or ""
-        if platforms.split(",")[0] == "cpu":
-            jax.config.update("jax_cpu_collectives_implementation",
-                              "gloo")
+        # jax.default_backend() would initialize XLA). The CPU
+        # collectives implementation only affects the CPU backend, so
+        # setting gloo unconditionally is safe on TPU/GPU too — and a
+        # plain CPU install with jax_platforms UNSET would otherwise
+        # get no cross-process CPU collectives at all
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)

@@ -69,9 +69,13 @@ LOW_CMD_SIZE = _HEAD.size + 20 * _MOTOR_CMD.size + _CMD_TAIL.size  # 796
 _POLY = 0x04C11DB7
 
 
-def crc32_core(words: np.ndarray) -> int:
-    """Unitree's bitwise CRC over uint32 words (published in the SDK's
-    examples; NOT zlib crc32)."""
+def _crc32_core_bitwise(words: np.ndarray) -> int:
+    """Unitree's published bitwise CRC over uint32 words (NOT zlib
+    crc32) — the reference form :func:`crc32_core` is validated
+    against in tests. Because (msb ^= poly) then (bit ^= poly) equals
+    the standard (msb ^ bit) update, this is exactly the non-reflected
+    CRC-32 (poly 0x04C11DB7, init 0xFFFFFFFF, no final xor) over each
+    word's bits MSB-first."""
     crc = 0xFFFFFFFF
     for data in np.asarray(words, dtype=np.uint32):
         data = int(data)
@@ -84,6 +88,36 @@ def crc32_core(words: np.ndarray) -> int:
             if data & xbit:
                 crc ^= _POLY
             xbit >>= 1
+    return crc
+
+
+def _make_crc_table() -> list:
+    table = []
+    for byte in range(256):
+        crc = byte << 24
+        for _ in range(8):
+            crc = (((crc << 1) & 0xFFFFFFFF) ^ _POLY
+                   if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF)
+        table.append(crc)
+    return table
+
+
+_CRC_TABLE = _make_crc_table()
+
+
+def crc32_core(words: np.ndarray) -> int:
+    """Table-driven equivalent of Unitree's bitwise word CRC (~40x
+    faster: the pure bitwise loop measured ~1.7 ms per LowState, which
+    alone blows the 2 ms 500 Hz frame budget the SDK wire serves).
+    Processes each word's 4 bytes MSB-first."""
+    crc = 0xFFFFFFFF
+    t = _CRC_TABLE
+    for w in np.asarray(words, dtype=np.uint32):
+        w = int(w)
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ t[(crc >> 24) ^ ((w >> 24) & 0xFF)]
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ t[(crc >> 24) ^ ((w >> 16) & 0xFF)]
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ t[(crc >> 24) ^ ((w >> 8) & 0xFF)]
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ t[(crc >> 24) ^ (w & 0xFF)]
     return crc
 
 

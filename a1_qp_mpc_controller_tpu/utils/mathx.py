@@ -142,6 +142,27 @@ def inv3(m: jnp.ndarray) -> jnp.ndarray:
     return inv / det[..., None, None]
 
 
+def inv3_spd(m: jnp.ndarray) -> jnp.ndarray:
+    """:func:`inv3` specialized to SYMMETRIC 3x3 blocks (reads only the
+    upper triangle; ~half the cofactor work). Batched over leading
+    axes."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 1], m[..., 1, 2], m[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / det
+    row0 = jnp.stack([co00, co01, co02], axis=-1)
+    row1 = jnp.stack([co01, co11, co12], axis=-1)
+    row2 = jnp.stack([co02, co12, co22], axis=-1)
+    return jnp.stack([row0, row1, row2],
+                     axis=-2) * inv_det[..., None, None]
+
+
 def solve3(m: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """``jnp.linalg.solve`` for 3x3 systems via :func:`inv3`:
     (..., 3, 3) x (..., 3) -> (..., 3)."""

@@ -69,9 +69,13 @@ def _tick_kwargs(kkt_backend: str) -> dict:
     # route caps its full-size fallback branch at 64 internally);
     # full-size backends OOM above 64
     ablock = 128 if kkt_backend == "reduced_admm" else 64
+    # big bucket: 3-4-stance scenarios are solved at full size inside
+    # the reduced route; per-tick counts in the closed-loop trot peak
+    # ~90-125 at batch 1024 (touchdown overlaps), so 192 covers with
+    # margin and the overflow cond catches spikes
     return dict(admm_backend="pallas_shared", kkt_block=32,
                 admm_block=ablock, kkt_backend=kkt_backend,
-                kkt_big_capacity=256, rescue_capacity=RESCUE_CAPACITY,
+                kkt_big_capacity=192, rescue_capacity=RESCUE_CAPACITY,
                 rescue_iters=RESCUE_ITERS)
 
 

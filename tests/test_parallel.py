@@ -116,6 +116,9 @@ def test_split_batched_tick_matches_vmapped():
         contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
                                   (B, 4)))
     mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(B))
+    mem = mem.replace(tick=jnp.full((B,), cfg.torque_warmup_ticks,
+                                    jnp.int32))  # real torques, not
+    #                                 the zero-torque warmup shield
     sens = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(B))
     sens = sens.replace(
         root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (B, 4)),
@@ -133,7 +136,7 @@ def test_split_batched_tick_matches_vmapped():
         cfg, pb, cs, mem, sens, joy, dt, use_pallas=True, interpret=True,
         kkt_block=3)
     np.testing.assert_allclose(np.asarray(pl_tq), np.asarray(ref_tq),
-                               atol=1e-4)
+                               atol=1e-3)
     del jtu
 
 
@@ -201,6 +204,9 @@ def test_fused_admm_batched_tick_matches_vmapped():
         contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
                                   (B, 4)))
     mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(B))
+    mem = mem.replace(tick=jnp.full((B,), cfg.torque_warmup_ticks,
+                                    jnp.int32))  # real torques, not
+    #                                 the zero-torque warmup shield
     sens = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(B))
     sens = sens.replace(
         root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (B, 4)),
@@ -215,7 +221,7 @@ def test_fused_admm_batched_tick_matches_vmapped():
         cfg, pb, cs, mem, sens, joy, dt, admm_backend="pallas",
         admm_block=2, interpret=True)
     np.testing.assert_allclose(np.asarray(fa_tq), np.asarray(ref_tq),
-                               atol=1e-4)
+                               atol=1e-3)
 
 
 def test_friction_constraint_basis_matches_matrix():
@@ -267,6 +273,9 @@ def test_fused_admm_shared_tick_matches_vmapped():
         contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
                                   (B, 4)))
     mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(B))
+    mem = mem.replace(tick=jnp.full((B,), cfg.torque_warmup_ticks,
+                                    jnp.int32))  # real torques, not
+    #                                 the zero-torque warmup shield
     sens = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(B))
     sens = sens.replace(
         root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (B, 4)),
@@ -458,6 +467,9 @@ def test_fused_admm_shared_tick_chol_backend():
         contacts=jnp.broadcast_to(jnp.array([True, False, False, True]),
                                   (B, 4)))
     mem = jax.vmap(lambda _: CtrlMem.init(cfg, params))(jnp.arange(B))
+    mem = mem.replace(tick=jnp.full((B,), cfg.torque_warmup_ticks,
+                                    jnp.int32))  # real torques, not
+    #                                 the zero-torque warmup shield
     sens = jax.vmap(lambda _: SensorData.zeros())(jnp.arange(B))
     sens = sens.replace(
         root_quat=jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (B, 4)),
@@ -714,7 +726,7 @@ def test_reduced_admm_tick_matches_single_through_contact_flip():
         flipped = flipped or (cur != prev).any()
         prev = cur
         np.testing.assert_allclose(np.asarray(tq_b), np.asarray(tq_a),
-                                   atol=1e-4,
+                                   atol=2e-3,
                                    err_msg=f"diverged at tick {t}")
     assert flipped, "test never crossed a contact flip"
 
@@ -806,3 +818,55 @@ def test_closed_loop_batched_step_runs_and_stays_up():
                          capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-3000:]
     assert "CLOSED_LOOP_OK" in out.stdout
+
+
+def test_reduced_admm_mixed_stance_big_bucket_correct():
+    """Round-4 review finding: the reduced_admm route must solve
+    scenarios with MORE live blocks than the reduced tier (3-4 stance)
+    at full size via the big bucket — truncating them to the first 22
+    blocks silently solves a wrong QP. This pins the exact exposure:
+    mixed batch where the big-count is nonzero but UNDER capacity (so
+    the overflow fallback does not fire), compared against
+    vmap(control_tick) per scenario."""
+    from a1_qp_mpc_controller_tpu.control.controller import control_tick
+
+    cfg, params = bench_cfg()
+    B = 3
+    pb, cs, mem, sens = batched.make_bench_state(
+        cfg, jax.random.PRNGKey(4), B, params)
+    # scenario 1 stands (4-stance, 40 live blocks); 0 and 2 trot
+    gc = np.broadcast_to(np.array([30.0, 150.0, 150.0, 30.0]),
+                         (B, 4)).copy()
+    gc[1] = [30.0, 60.0, 60.0, 30.0]   # all counters in stance half
+    cs = cs.replace(gait_counter=jnp.asarray(gc))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+    cs_a, mem_a = cs, mem
+    cs_b, mem_b = cs, mem
+    saw_mixed = False
+    for t in range(4):
+        cs_a, mem_a, tq_a = jax.vmap(
+            lambda p, c, m, s: control_tick(cfg, p, c, m, s, joy, dt))(
+            pb, cs_a, mem_a, sens)
+        cs_b, mem_b, tq_b = batched.batched_control_tick(
+            cfg, pb, cs_b, mem_b, sens, joy, dt,
+            admm_backend="pallas_shared", kkt_backend="reduced_admm",
+            kkt_reduced_nr=64, kkt_big_capacity=2,
+            admm_block=2, kkt_block=2, interpret=True)
+        ns = np.asarray(cs_b.contacts).sum(axis=1)
+        saw_mixed = saw_mixed or ((ns > 2).any() and (ns <= 2).any())
+        # tolerances discriminate the bug from schedule noise: f32
+        # noise between the two schedules accumulates to ~3e-3 on
+        # torques / ~0.01 N on forces over 4 warm-carried ticks, while
+        # a truncated big-bucket scenario sits ~2e-2 off on torques /
+        # 0.12+ N on forces and grows
+        np.testing.assert_allclose(np.asarray(tq_b), np.asarray(tq_a),
+                                   atol=5e-3,
+                                   err_msg=f"diverged at tick {t} "
+                                           f"(stance counts {ns})")
+        np.testing.assert_allclose(
+            np.asarray(cs_b.foot_forces_grf),
+            np.asarray(cs_a.foot_forces_grf), atol=0.05,
+            err_msg=f"GRF diverged at tick {t} (stance counts {ns})")
+    assert saw_mixed, "batch never mixed 2-stance with 3/4-stance"

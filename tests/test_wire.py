@@ -156,3 +156,14 @@ def test_sdk_wire_closed_loop_stand():
     finally:
         runner.close()
         mock.close()
+
+
+def test_sdk_crc_table_matches_bitwise():
+    """The table-driven CRC (hot path) is exactly Unitree's published
+    bitwise algorithm (kept as the validation reference)."""
+    from a1_qp_mpc_controller_tpu.runtime import sdk_wire as sw
+
+    rng = np.random.default_rng(11)
+    for n in (1, 7, 199, 254):
+        w = rng.integers(0, 2**32, size=n, dtype=np.uint32)
+        assert sw.crc32_core(w) == sw._crc32_core_bitwise(w), n
