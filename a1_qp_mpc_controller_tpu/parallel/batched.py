@@ -452,14 +452,26 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
             tkb(prob.warm_x), tkb(prob.warm_y), tkb(prob.rho0),
             scal_b, minv_c, block=full_admm_block, interpret=interpret)
         if rescue_capacity > 0:
+            big_inv = lambda m: batched_inverse(m, block=kkt_block,
+                                                interpret=interpret)
             sol_b = run_rescue(
                 sol_b, tkb(prob.p_mat), tkb(prob.q_vec), tkb(prob.lb),
-                tkb(prob.ub), scal_b, a0f, a1f, tkb(mu),
-                lambda m: batched_inverse(m, block=kkt_block,
-                                          interpret=interpret),
+                tkb(prob.ub), scal_b, a0f, a1f, tkb(mu), big_inv,
                 cap_override=max(8, big_capacity // 2),
                 rescue_flag=tkb(prob.rescue_flag),
                 rho0_base=tkb(prob.rho0))
+            # straggler second round, cond-skipped when clean (same
+            # policy as the reduced tier)
+            sol_b = jax.lax.cond(
+                jnp.all(sol_b.converged), lambda s: s,
+                lambda s: run_rescue(
+                    s, tkb(prob.p_mat), tkb(prob.q_vec), tkb(prob.lb),
+                    tkb(prob.ub), scal_b, a0f, a1f, tkb(mu), big_inv,
+                    cap_override=max(8, big_capacity // 4),
+                    unconverged_only=True,
+                    rescue_flag=tkb(prob.rescue_flag),
+                    rho0_base=tkb(prob.rho0)),
+                sol_b)
         return jax.tree_util.tree_map(
             lambda o, nb: o.at[big_idx].set(nb), sol, sol_b)
 

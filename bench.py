@@ -71,11 +71,11 @@ def _tick_kwargs(kkt_backend: str) -> dict:
     ablock = 128 if kkt_backend == "reduced_admm" else 64
     # big bucket: 3-4-stance scenarios are solved at full size inside
     # the reduced route; per-tick counts in the closed-loop trot peak
-    # ~90-125 at batch 1024 (touchdown overlaps), so 192 covers with
-    # margin and the overflow cond catches spikes
+    # ~95-125 at batch 1024 (touchdown overlaps), so 160 covers with
+    # margin and the overflow cond catches spikes correctly
     return dict(admm_backend="pallas_shared", kkt_block=32,
                 admm_block=ablock, kkt_backend=kkt_backend,
-                kkt_big_capacity=192, rescue_capacity=RESCUE_CAPACITY,
+                kkt_big_capacity=160, rescue_capacity=RESCUE_CAPACITY,
                 rescue_iters=RESCUE_ITERS)
 
 
