@@ -364,11 +364,18 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
             iters, settings, prob.warm_x, prob.warm_y, prob.rho0, scal,
             minv, block=full_admm_block, interpret=interpret)
         if rescue_capacity > 0:
-            sol = run_rescue(
-                sol, prob.p_mat, prob.q_vec, prob.lb, prob.ub,
-                scal, a0f, a1f, mu,
-                lambda m: batched_inverse(m, block=kkt_block,
-                                          interpret=interpret))
+            full_inv = lambda m: batched_inverse(m, block=kkt_block,
+                                                 interpret=interpret)
+            sol = run_rescue(sol, prob.p_mat, prob.q_vec, prob.lb,
+                             prob.ub, scal, a0f, a1f, mu, full_inv)
+            sol = jax.lax.cond(
+                jnp.all(sol.converged), lambda s: s,
+                lambda s: run_rescue(
+                    s, prob.p_mat, prob.q_vec, prob.lb, prob.ub, scal,
+                    a0f, a1f, mu, full_inv,
+                    cap_override=max(8, rescue_capacity // 4),
+                    unconverged_only=True),
+                sol)
         return sol
 
     def reduced_path():

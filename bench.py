@@ -65,16 +65,21 @@ def build():
 
 
 def _tick_kwargs(kkt_backend: str) -> dict:
-    # reduced-shape kernels fit admm_block=128 in scoped VMEM (the
-    # route caps its full-size fallback branch at 64 internally);
-    # full-size backends OOM above 64
-    ablock = 128 if kkt_backend == "reduced_admm" else 64
+    # 'full' = the full-size solve with the SAME rho-refactored 2-round
+    # rescue machinery (the reduced route's fallback path, selected by
+    # a reduced tier >= the block count). reduced-shape kernels fit
+    # admm_block=128 in scoped VMEM (the route caps full-size branches
+    # at 64 internally); full-size backends OOM above 64.
+    nr = 128 if kkt_backend == "full" else 64
+    backend = "reduced_admm" if kkt_backend == "full" else kkt_backend
+    ablock = 128 if backend == "reduced_admm" else 64
     # big bucket: 3-4-stance scenarios are solved at full size inside
     # the reduced route; per-tick counts in the closed-loop trot peak
     # ~95-125 at batch 1024 (touchdown overlaps), so 160 covers with
     # margin and the overflow cond catches spikes correctly
     return dict(admm_backend="pallas_shared", kkt_block=32,
-                admm_block=ablock, kkt_backend=kkt_backend,
+                admm_block=ablock, kkt_backend=backend,
+                kkt_reduced_nr=nr,
                 kkt_big_capacity=160, rescue_capacity=RESCUE_CAPACITY,
                 rescue_iters=RESCUE_ITERS)
 
@@ -445,7 +450,7 @@ def main():
     # candidate; 'gj' is the full-size fallback.
     cfg, *_ = build()
     candidates = tuple(
-        os.environ.get("TPU_QMPC_BENCH_KKT", "reduced_admm,gj").split(","))
+        os.environ.get("TPU_QMPC_BENCH_KKT", "reduced_admm,full").split(","))
     batch = 1024
     warm_state = _warm_trot(cfg, batch)
     best = 0.0
@@ -461,7 +466,10 @@ def main():
             continue
         log(f"  closed-loop kkt={kkt} batch={batch}: {sps:,.0f} solves/s "
             f"(converged frac {conv:.4f})")
-        if sps > best:
+        # quality-first selection: candidates differ in solver quality,
+        # so pick by (converged frac rounded to 1e-3, then solves/s) —
+        # a faster config may not buy its speed with unconverged solves
+        if (round(conv, 3), sps) > (round(best_conv or 0.0, 3), best):
             best, best_batch, best_conv, best_kkt = sps, batch, conv, kkt
     log(f"best: {best:,.0f} solves/s/chip at batch={best_batch} "
         f"(kkt={best_kkt}); device-resident latency {lat_dev:.3f} ms")
