@@ -179,7 +179,8 @@ def compute_grf(cfg: A1Config, params: RobotParams, cs: CtrlState,
         # family's flip-tick active-set discovery wants both rho
         # adaptation and a variable iteration count) — the batched
         # lock-step route therefore pairs a fixed budget with a
-        # gathered adaptive RESCUE of flip scenarios.
+        # gathered fixed-budget rho-refactored RESCUE of flip
+        # scenarios.
         sol = qpx.admm_solve(
             prob.p_mat, prob.q_vec, prob.a_mat, prob.lb, prob.ub,
             qpx.QPSettings(rho=_QP_RHO0, eps_abs=1e-4, eps_rel=1e-4,

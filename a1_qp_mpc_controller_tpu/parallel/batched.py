@@ -15,6 +15,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from a1_qp_mpc_controller_tpu.config import A1Config, RobotParams
 from a1_qp_mpc_controller_tpu.control.controller import control_tick
@@ -34,6 +35,9 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
                          kkt_big_capacity: int = 256,
                          rescue_capacity: int = 0,
                          rescue_iters: int = 25,
+                         kkt_carry: "KktCarry | None" = None,
+                         kkt_amortize_capacity: int = 192,
+                         kkt_refine_order: int = 2,
                          return_stats: bool = False,
                          interpret: bool = False):
     """One batched MPC control tick with the KKT factorization (and
@@ -51,9 +55,16 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     scenario-resident Pallas kernel (ops/pallas_kernels.fused_admm)
     with ``admm_block`` scenarios per grid step.
     ``kkt_backend`` picks the solver route under 'pallas_shared':
-    'reduced_admm' (PRODUCTION: contact-pattern shape reduction of the
-    WHOLE solve — KKT inverse AND fused-ADMM iterations at the gathered
-    stance-block size, with rescue passes; _reduced_shared_solve),
+    'amortized' (round 5: cross-tick amortized factorization — the
+    batched inverse refreshes only contact-flipped/aged scenarios each
+    tick and every other scenario reuses its carried inverse corrected
+    by a truncated Neumann series; requires threading a ``kkt_carry``
+    and returns the updated carry after the torque tuple; see
+    _amortized_full_solve),
+    'reduced_admm' (round-4 production: contact-pattern shape reduction
+    of the WHOLE solve — KKT inverse AND fused-ADMM iterations at the
+    gathered stance-block size, with rescue passes;
+    _reduced_shared_solve),
     'reduced' (shape reduction of the inverse only — live-block gather
     to a static ``kkt_reduced_nr``-var Gauss-Jordan, full-size kernel
     only on the ``kkt_big_capacity`` scenarios with the most stance
@@ -91,6 +102,28 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
         lambda t, c, p, q: qpx.rescale_cost(
             p, q, grf.scaling_for_contacts(t, c))
     )(mem.mpc_scaling_table, cs.contacts, prob.p_mat, prob.q_vec)
+
+    if admm_backend == "pallas_shared" and kkt_backend == "amortized":
+        # cross-tick amortized factorization (round-5): requires the
+        # caller to thread a KktCarry through the tick sequence; returns
+        # it after the torque tuple. See _amortized_full_solve.
+        assert kkt_carry is not None, \
+            "kkt_backend='amortized' needs a threaded kkt_carry " \
+            "(parallel.batched.make_kkt_carry)"
+        sol, kcarry = _amortized_full_solve(
+            cfg, prob, scal, params_b.mu_mpc, settings, kkt_carry,
+            capacity=kkt_amortize_capacity, admm_block=admm_block,
+            kkt_block=kkt_block, rescue_capacity=rescue_capacity,
+            rescue_iters=rescue_iters, refine_order=kkt_refine_order,
+            interpret=interpret)
+        out = jax.vmap(
+            lambda p, c, m, s: control_tick_finish(cfg, p, c, m, s)
+        )(params_b, cs, mem, sol)
+        if return_stats:
+            stats = {"converged": sol.converged,
+                     "prim_res": sol.prim_res, "dual_res": sol.dual_res}
+            return out + (kcarry, stats)
+        return out + (kcarry,)
 
     if admm_backend == "pallas_shared" and kkt_backend == "reduced_admm":
         sol = _reduced_shared_solve(
@@ -237,6 +270,237 @@ def batched_control_tick(cfg: A1Config, params_b, cs_b, mem_b, sensors_b,
     )(params_b, cs, mem, sol)
 
 
+def _gathered_rescue(sol, p_of, q_of, l_of, u_of, scal_of, a0, a1, mu_v,
+                     small_inverse, settings, *, cap: int,
+                     rescue_iters: int, admm_block: int, interpret: bool,
+                     rescue_flag, rho0_base, base_blk, slope_blk,
+                     eligible=None, unconverged_only: bool = False):
+    """Gathered rescue with rho refactor: rank the scenarios that are
+    unconverged (or rescue-flagged), gather the worst ``cap``, refactor
+    their KKT at a corrected stepsize, continue their solve for
+    ``rescue_iters`` iterations, and scatter back — accepting a rescue
+    only where it does not worsen the residual picture.
+
+    The stepsize refactor applies to UNCONVERGED scenarios only (the
+    first pass's rho estimate, clamped to the healthy band of the
+    cost-normalized family — stalls are primal-dominant because the
+    carried rho lags). Scenarios rescued for force accuracy (converged,
+    but inside the post-flip cooldown window) keep their original rho: a
+    rho jump transiently RAISES residuals and was measured to flip
+    previously-converged scenarios to unconverged after the pass."""
+    from a1_qp_mpc_controller_tpu.control import grf as grf_mod
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+
+    dtype = q_of.dtype
+    need = ((~sol.converged) if unconverged_only
+            else (~sol.converged) | rescue_flag)
+    if eligible is not None:
+        need = need & eligible
+    score = need.astype(dtype) * (
+        1.0 + jnp.maximum(sol.prim_res, sol.dual_res))
+    cap = min(cap, score.shape[0])
+    _, ridx = jax.lax.top_k(score, cap)
+    tk = lambda a: jnp.take(a, ridx, axis=0)
+    scal_r = qpx.Scaling(d=tk(scal_of.d), e=tk(scal_of.e),
+                         c=tk(scal_of.c))
+    conv_g = jnp.take(sol.converged, ridx, axis=0)
+    rho_est = jnp.clip(tk(sol.rho), 0.1 * grf_mod._MPC_RHO0,
+                       100.0 * grf_mod._MPC_RHO0)
+    rho_r = jnp.where(conv_g, tk(rho0_base), rho_est)
+    m_r = qpx.scaled_kkt_matrix_blockdiag(
+        tk(p_of), base_blk, slope_blk, tk(mu_v), tk(l_of), tk(u_of),
+        settings, rho_r, scal_r)
+    minv_r = small_inverse(m_r)
+    sol_r = qpx.admm_solve_fixed_batched_shared(
+        tk(p_of), tk(q_of), a0, a1, tk(mu_v), tk(l_of), tk(u_of),
+        rescue_iters, settings, tk(sol.x), tk(sol.y), rho_r, scal_r,
+        minv_r, block=min(admm_block, 64), interpret=interpret)
+    res_o = jnp.maximum(tk(sol.prim_res), tk(sol.dual_res))
+    res_n = jnp.maximum(sol_r.prim_res, sol_r.dual_res)
+    sel = jnp.take(need, ridx, axis=0) & (
+        (~conv_g) | sol_r.converged | (res_n < res_o))
+
+    def merge(orig, new):
+        keep = sel.reshape((cap,) + (1,) * (new.ndim - 1))
+        patched = jnp.where(keep, new, jnp.take(orig, ridx, axis=0))
+        return orig.at[ridx].set(patched)
+
+    return jax.tree_util.tree_map(merge, sol, sol_r)
+
+
+class KktCarry(struct.PyTreeNode):
+    """Cross-tick KKT factorization carry for the amortized full-size
+    route (:func:`_amortized_full_solve`): the batched inverse is
+    refreshed for only ``capacity`` scenarios per tick (contact-flipped
+    first, then oldest), and every other scenario reuses its carried
+    inverse as a preconditioner with a truncated-Neumann correction.
+    The scaling/rho the inverse was built at are FROZEN with it —
+    scaling is a preconditioner choice and ADMM converges for any fixed
+    rho, so freezing changes convergence rate only, never the fixed
+    point; the correction handles the real drift (the cost matrix P
+    moves with foot positions/yaw, mm-and-mrad per tick)."""
+
+    minv: jnp.ndarray    # (B, n, n) inverse of m_mat
+    m_mat: jnp.ndarray   # (B, n, n) scaled KKT at the last refresh
+    d: jnp.ndarray       # (B, n)  frozen Ruiz variable scaling
+    e: jnp.ndarray       # (B, m)  frozen Ruiz constraint scaling
+    c: jnp.ndarray       # (B,)    frozen cost normalization
+    rho: jnp.ndarray     # (B,)    frozen ADMM stepsize
+    age: jnp.ndarray     # (B,) int32 ticks since refresh
+
+
+def make_kkt_carry(cfg: A1Config, batch: int,
+                   dtype=jnp.float32) -> KktCarry:
+    """Cold carry: ages start huge so the first amortized tick takes the
+    refresh-everything branch (identical work to the non-amortized
+    route), seeding real factorizations for every scenario."""
+    from a1_qp_mpc_controller_tpu.control import grf as grf_mod
+
+    n = 12 * cfg.horizon
+    m = 20 * cfg.horizon
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (batch, n, n))
+    return KktCarry(
+        minv=eye, m_mat=eye,
+        d=jnp.ones((batch, n), dtype), e=jnp.ones((batch, m), dtype),
+        c=jnp.ones((batch,), dtype),
+        rho=jnp.full((batch,), grf_mod._MPC_RHO0, dtype),
+        age=jnp.full((batch,), 1_000_000, jnp.int32))
+
+
+def _amortized_full_solve(cfg: A1Config, prob, scal_new, mu, settings,
+                          kcarry: KktCarry, *, capacity: int,
+                          admm_block: int, kkt_block: int,
+                          rescue_capacity: int, rescue_iters: int,
+                          refine_order: int, interpret: bool):
+    """Full-size solve with the KKT factorization AMORTIZED across ticks
+    (the round-4 verdict's #1 item: the 11 ms batched inverse was ~half
+    the tick and refreshing it every tick is wasted work — on calm ticks
+    the KKT matrix moves by ~1e-3 relative).
+
+    Per tick: refresh the ``capacity`` scenarios that need it most
+    (contact flips are mandatory — their KKT changes structurally with
+    the bound pattern; then oldest-first aging, which self-staggers the
+    batch into a round-robin refresh cycle of ~B/capacity ticks). Every
+    scenario then solves with
+
+        minv_eff = (I + C + ... + C^refine_order) minv,
+        C = minv (m_mat - K_t)
+
+    — the truncated Neumann series for K_t^-1 about the carried
+    factorization, algebraically identical to ``refine_order`` steps of
+    iterative refinement in the ADMM x-update but precomputed as ONE
+    operator so the fused-ADMM kernel is unchanged. Computing C through
+    the explicit difference m_mat - K_t avoids the catastrophic
+    cancellation that kills the Newton-Schulz form X(2I - KX)
+    (qp.py:492-519: forming I - KX directly in f32 loses the small
+    correction under the O(1) product noise; the difference form
+    subtracts ANALYTICALLY first).
+
+    If more scenarios flipped than ``capacity`` (synchronized flips:
+    walk onset), a lax.cond refreshes EVERYTHING — correctness never
+    depends on the capacity guess. Convergence is still gated by the
+    same unscaled-residual checks, and the rescue pass (which always
+    refactors its gathered subset exactly) remains the safety net, so a
+    scenario whose correction was not enough is caught, not shipped.
+
+    Reference anchor: OSQP's one-factorization-many-iterations pattern
+    (A1RobotControl.cpp:522-540) extended ACROSS ticks the way OSQP's
+    update_* calls reuse the factorization across problem updates.
+    """
+    from a1_qp_mpc_controller_tpu.models import srb
+    from a1_qp_mpc_controller_tpu.ops import qp as qpx
+    from a1_qp_mpc_controller_tpu.ops.pallas_kernels import batched_inverse
+
+    b, n = prob.q_vec.shape
+    dtype = prob.q_vec.dtype
+    h = cfg.horizon
+    base_blk, slope_blk = srb.friction_basis_blocks(dtype)
+    a0f, a1f = srb.friction_constraint_basis(h, dtype)
+    iters = cfg.mpc_qp_iters
+    full_admm_block = min(admm_block, 64)
+    hi = jax.lax.Precision.HIGHEST
+
+    assert 0 < capacity < b
+    # mandatory refreshes: contact flips (structural KKT change) and
+    # pathologically stale factorizations (cold start: make_kkt_carry
+    # ages start huge, so the first tick refreshes EVERYTHING)
+    stale_max = max(16, 4 * b // capacity)
+    must = prob.flipped | (kcarry.age >= stale_max)
+    overflow = jnp.sum(must.astype(jnp.int32)) > capacity
+
+    def refresh_all(kc):
+        m_b = qpx.scaled_kkt_matrix_blockdiag(
+            prob.p_mat, base_blk, slope_blk, mu, prob.lb, prob.ub,
+            settings, prob.rho0, scal_new)
+        minv = batched_inverse(m_b, block=kkt_block, interpret=interpret)
+        return KktCarry(minv=minv, m_mat=m_b, d=scal_new.d, e=scal_new.e,
+                        c=scal_new.c, rho=prob.rho0,
+                        age=jnp.zeros((b,), jnp.int32))
+
+    def refresh_some(kc):
+        # flips outrank everything; then oldest-first. The top-k is
+        # always FULL (capacity scenarios refresh every tick) — the
+        # deterministic cost is the point of the schedule.
+        score = kc.age.astype(dtype) + jnp.where(must, 1e9, 0.0)
+        _, ridx = jax.lax.top_k(score, capacity)
+        tk = lambda a: jnp.take(a, ridx, axis=0)
+        scal_g = qpx.Scaling(d=tk(scal_new.d), e=tk(scal_new.e),
+                             c=tk(scal_new.c))
+        m_g = qpx.scaled_kkt_matrix_blockdiag(
+            tk(prob.p_mat), base_blk, slope_blk, tk(mu), tk(prob.lb),
+            tk(prob.ub), settings, tk(prob.rho0), scal_g)
+        minv_g = batched_inverse(m_g, block=kkt_block,
+                                 interpret=interpret)
+        return KktCarry(
+            minv=kc.minv.at[ridx].set(minv_g),
+            m_mat=kc.m_mat.at[ridx].set(m_g),
+            d=kc.d.at[ridx].set(scal_g.d),
+            e=kc.e.at[ridx].set(scal_g.e),
+            c=kc.c.at[ridx].set(scal_g.c),
+            rho=kc.rho.at[ridx].set(tk(prob.rho0)),
+            age=(kc.age + 1).at[ridx].set(0))
+
+    kcarry = jax.lax.cond(overflow, refresh_all, refresh_some, kcarry)
+    scal_used = qpx.Scaling(d=kcarry.d, e=kcarry.e, c=kcarry.c)
+    rho_used = kcarry.rho
+
+    # current-tick KKT at the FROZEN (scaling, rho): for just-refreshed
+    # scenarios this reproduces m_mat exactly (same inputs), so their
+    # correction is exactly zero — one uniform code path.
+    k_cur = qpx.scaled_kkt_matrix_blockdiag(
+        prob.p_mat, base_blk, slope_blk, mu, prob.lb, prob.ub,
+        settings, rho_used, scal_used)
+    delta = kcarry.m_mat - k_cur
+    c_mat = jnp.matmul(kcarry.minv, delta, precision=hi)
+    minv_eff = kcarry.minv
+    corr = kcarry.minv
+    for _ in range(refine_order):
+        corr = jnp.matmul(c_mat, corr, precision=hi)
+        minv_eff = minv_eff + corr
+
+    sol = qpx.admm_solve_fixed_batched_shared(
+        prob.p_mat, prob.q_vec, a0f, a1f, mu, prob.lb, prob.ub,
+        iters, settings, prob.warm_x, prob.warm_y, rho_used, scal_used,
+        minv_eff, block=full_admm_block, interpret=interpret)
+
+    if rescue_capacity > 0:
+        full_inv = lambda m: batched_inverse(m, block=kkt_block,
+                                             interpret=interpret)
+        rescue = lambda s, cap, unconv: _gathered_rescue(
+            s, prob.p_mat, prob.q_vec, prob.lb, prob.ub, scal_used,
+            a0f, a1f, mu, full_inv, settings, cap=cap,
+            rescue_iters=rescue_iters, admm_block=admm_block,
+            interpret=interpret, rescue_flag=prob.rescue_flag,
+            rho0_base=rho_used, base_blk=base_blk, slope_blk=slope_blk,
+            unconverged_only=unconv)
+        sol = rescue(sol, rescue_capacity, False)
+        sol = jax.lax.cond(
+            jnp.all(sol.converged), lambda s: s,
+            lambda s: rescue(s, max(8, rescue_capacity // 4), True),
+            sol)
+    return sol, kcarry
+
+
 def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
                           settings, *, reduced_blocks: int,
                           big_capacity: int, admm_block: int,
@@ -295,57 +559,25 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
     def run_rescue(sol, p_of, q_of, l_of, u_of, scal_of,
                    a0, a1, mu_v, small_inverse, cap_override=None,
                    unconverged_only=False, rescue_flag=None,
-                   rho0_base=None):
-        """Gathered rescue with rho refactor; operands are the (possibly
-        reduced, possibly subset) per-scenario problem the first pass
-        solved. ``rescue_flag``/``rho0_base`` override the full-batch
-        prob fields when ``sol`` covers a gathered subset."""
+                   rho0_base=None, eligible=None):
+        """Gathered rescue (module-level :func:`_gathered_rescue`) bound
+        to this solve's settings. ``rescue_flag``/``rho0_base`` override
+        the full-batch prob fields when ``sol`` covers a gathered
+        subset. ``eligible`` masks scenarios OUT of the rescue ranking —
+        the reduced tier passes (n_live_blk <= n_rb) so big-bucket
+        scenarios (whose reduced-shape result is a truncated-QP artifact
+        later overwritten by the big-bucket scatter) cannot fill the
+        top-k slots and starve genuine reduced-tier stragglers."""
         flag = prob.rescue_flag if rescue_flag is None else rescue_flag
         rho_base = prob.rho0 if rho0_base is None else rho0_base
-        need = ((~sol.converged) if unconverged_only
-                else (~sol.converged) | flag)
-        score = need.astype(dtype) * (
-            1.0 + jnp.maximum(sol.prim_res, sol.dual_res))
-        cap = min(cap_override or rescue_capacity, score.shape[0])
-        _, ridx = jax.lax.top_k(score, cap)
-        tk = lambda a: jnp.take(a, ridx, axis=0)
-        scal_r = qpx.Scaling(d=tk(scal_of.d), e=tk(scal_of.e),
-                             c=tk(scal_of.c))
-        # refactored stepsize for UNCONVERGED scenarios only (first-pass
-        # rho estimate, clamped to the healthy band of the
-        # cost-normalized family — stalls are primal-dominant because
-        # the carried rho lags). Scenarios rescued for force accuracy
-        # (converged, but inside the post-flip cooldown window) keep
-        # their original rho: a rho jump transiently RAISES residuals
-        # and was measured to flip previously-converged scenarios to
-        # unconverged after the pass.
-        from a1_qp_mpc_controller_tpu.control import grf as grf_mod
-        conv_g = jnp.take(sol.converged, ridx, axis=0)
-        rho_est = jnp.clip(tk(sol.rho), 0.1 * grf_mod._MPC_RHO0,
-                           100.0 * grf_mod._MPC_RHO0)
-        rho_r = jnp.where(conv_g, tk(rho_base), rho_est)
-        m_r = qpx.scaled_kkt_matrix_blockdiag(
-            tk(p_of), base_blk, slope_blk, tk(mu_v), tk(l_of), tk(u_of),
-            settings, rho_r, scal_r)
-        minv_r = small_inverse(m_r)
-        sol_r = qpx.admm_solve_fixed_batched_shared(
-            tk(p_of), tk(q_of), a0, a1, tk(mu_v), tk(l_of), tk(u_of),
-            rescue_iters, settings, tk(sol.x), tk(sol.y), rho_r, scal_r,
-            minv_r, block=min(admm_block, 64), interpret=interpret)
-        # accept the rescue only where it did not worsen the residual
-        # picture: rescued-for-accuracy scenarios must never regress
-        # the reported convergence
-        res_o = jnp.maximum(tk(sol.prim_res), tk(sol.dual_res))
-        res_n = jnp.maximum(sol_r.prim_res, sol_r.dual_res)
-        sel = jnp.take(need, ridx, axis=0) & (
-            (~conv_g) | sol_r.converged | (res_n < res_o))
-
-        def merge(orig, new):
-            keep = sel.reshape((cap,) + (1,) * (new.ndim - 1))
-            patched = jnp.where(keep, new, jnp.take(orig, ridx, axis=0))
-            return orig.at[ridx].set(patched)
-
-        return jax.tree_util.tree_map(merge, sol, sol_r)
+        return _gathered_rescue(
+            sol, p_of, q_of, l_of, u_of, scal_of, a0, a1, mu_v,
+            small_inverse, settings,
+            cap=min(cap_override or rescue_capacity, sol.x.shape[0]),
+            rescue_iters=rescue_iters, admm_block=admm_block,
+            interpret=interpret, rescue_flag=flag, rho0_base=rho_base,
+            eligible=eligible, unconverged_only=unconverged_only,
+            base_blk=base_blk, slope_blk=slope_blk)
 
     # the FULL-size branch caps its admm block at 64: the fused kernel's
     # per-block VMEM at (block, 120, 128) minv + (block, 256) operands
@@ -409,21 +641,25 @@ def _reduced_shared_solve(cfg: A1Config, prob, scal, mu, contacts,
         if rescue_capacity > 0:
             small_inv = lambda m: batched_inverse_small(
                 m, block=max(admm_block, 32), interpret=interpret)
+            red_tier = n_live_blk <= n_rb
             sol_r = run_rescue(sol_r, p_r, q_r, l_r, u_r, scal_r,
-                               a0r, a1r, mu, small_inv)
+                               a0r, a1r, mu, small_inv,
+                               eligible=red_tier)
             # second, smaller round: the handful of scenarios still
             # unconverged after one refactored continuation get their
             # rho re-estimated AGAIN from the post-rescue iterate —
             # the iterative rho adaptation OSQP performs, paid only by
             # the stragglers (~0.3 ms at capacity/4) and lax.cond-
-            # skipped entirely on the common all-converged tick
+            # skipped entirely when every REDUCED-TIER scenario
+            # converged (big-bucket scenarios are judged in their own
+            # rescue below)
             sol_r = jax.lax.cond(
-                jnp.all(sol_r.converged), lambda s: s,
+                jnp.all(sol_r.converged | ~red_tier), lambda s: s,
                 lambda s: run_rescue(
                     s, p_r, q_r, l_r, u_r, scal_r, a0r, a1r, mu,
                     small_inv,
                     cap_override=max(8, rescue_capacity // 4),
-                    unconverged_only=True),
+                    unconverged_only=True, eligible=red_tier),
                 sol_r)
         # scatter the reduced solution back to full coordinates (dead
         # entries are exactly 0 in the equivalent full solve)
@@ -498,11 +734,13 @@ def batched_stand_control_tick(cfg: A1Config, params_b, cs_b, mem_b,
     balance path, A1RobotControl.cpp:416-431): vmapped build, a FIXED
     ``cfg.stand_qp_iters`` warm-started ADMM budget for every scenario
     (pure lock-step — no data-dependent while_loop in the batch hot
-    path), then a gathered adaptive solve-to-tolerance RESCUE of the
-    worst ``rescue_capacity`` unconverged scenarios (contact flips: the
-    kappa ~1e6 family's active-set discovery needs rho adaptation and a
-    variable iteration count, which only the few flipped scenarios
-    should pay for). First-pass-converged scenarios are untouched.
+    path), then a gathered fixed-budget rho-refactored RESCUE at 1e-5
+    tolerance of the worst ``rescue_capacity`` unconverged scenarios
+    (contact flips: the kappa ~1e6 family's active-set discovery needs
+    a rho refactor and extra iterations, which only the few flipped
+    scenarios should pay for; a while_loop-adaptive rescue was measured
+    and rejected — 30 ms vs 1.5 ms, see the in-code comment).
+    First-pass-converged scenarios are untouched.
 
     Requires cfg.stance_leg_control_type == 0 and mpc_solver_mode ==
     'fixed'. Numerically: calm warm-started ticks match the adaptive
@@ -593,6 +831,7 @@ def batched_closed_loop_step(cfg: A1Config, params_b, terr_b,
     sensors = jax.vmap(
         lambda p, ps, pv: plant_mod.read_sensors(p, ps, pv, dt)
     )(params_b, carry.ps, carry.prev_root_lin_vel)
+    amortized = tick_kwargs.get("kkt_carry") is not None
     out = batched_control_tick(cfg, params_b, carry.cs, carry.mem,
                                sensors, joy, dt, **tick_kwargs)
     cs, mem, tq = out[:3]
@@ -602,8 +841,15 @@ def batched_closed_loop_step(cfg: A1Config, params_b, terr_b,
     )(params_b, terr_b, carry.ps, tq)
     new_carry = cl.LoopCarry(cs=cs, mem=mem, ps=ps,
                              prev_root_lin_vel=prev)
-    if len(out) > 3:
-        return new_carry, out[3]
+    # amortized route: out[3] is the updated KktCarry (and out[4] the
+    # stats dict when requested); otherwise out[3] is the stats dict
+    extras = out[3:]
+    if amortized:
+        if len(extras) > 1:
+            return new_carry, extras[0], extras[1]
+        return new_carry, extras[0]
+    if extras:
+        return new_carry, extras[0]
     return new_carry
 
 

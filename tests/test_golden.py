@@ -65,7 +65,7 @@ def test_stand_qp_force_trajectory_both_modes():
 
 def test_stand_qp_lockstep_batched_gate_dense():
     """The LOCK-STEP batched stand-QP route (fixed 100-iteration budget
-    + gathered adaptive flip rescue, parallel.batched.
+    + gathered rho-refactored flip rescue, parallel.batched.
     batched_stand_control_tick) tracks the f64 optimum at EVERY tick of
     a closed-loop gazebo_qp trot with staggered gait phases — dense
     per-tick sampling, not the sparse windows that used to hide

@@ -870,3 +870,71 @@ def test_reduced_admm_mixed_stance_big_bucket_correct():
             np.asarray(cs_a.foot_forces_grf), atol=0.05,
             err_msg=f"GRF diverged at tick {t} (stance counts {ns})")
     assert saw_mixed, "batch never mixed 2-stance with 3/4-stance"
+
+
+def test_amortized_tick_golden_through_flips():
+    """The cross-tick amortized-factorization route
+    (kkt_backend='amortized', round 5): over a flip-crossing window the
+    solved forces of every scenario stay within golden tolerance of the
+    f64 optimum of its OWN per-tick QP (the same gate run_gate applies
+    to the single-scenario path), and the machinery (mandatory flip
+    refresh + Neumann-corrected stale inverses + exact-refactor rescue)
+    keeps the batch converged. This route is APPROXIMATE in the
+    x-update preconditioner, so the gate is the f64 optimum, not
+    bitwise equivalence with vmap(control_tick)."""
+    import jax.tree_util as jtu
+
+    from a1_qp_mpc_controller_tpu.ops import qp_ref
+    from a1_qp_mpc_controller_tpu.runtime.golden import rebuild_mpc_qp
+
+    cfg, params = bench_cfg()
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=25)
+    B = 3
+    pb, cs, mem, sens = batched.make_bench_state(
+        cfg, jax.random.PRNGKey(4), B, params)
+    # stagger just-before-flip gait phases so flips land on different
+    # ticks in different scenarios (the hard case for the shared carry)
+    cs = cs.replace(gait_counter=jnp.stack([
+        jnp.array([116.0, 236.0, 236.0, 116.0]),
+        jnp.array([110.0, 230.0, 230.0, 110.0]),
+        jnp.array([100.0, 220.0, 220.0, 100.0])]))
+    joy = JoyCmd.zeros().replace(ctrl_state=jnp.int32(1),
+                                 velx=jnp.float32(0.2))
+    dt = jnp.float32(cfg.control_dt)
+    kc = batched.make_kkt_carry(cfg, B)
+
+    devs = []
+    convs = []
+    flipped = False
+    prev = np.asarray(cs.contacts)
+    for t in range(12):
+        cs, mem, tq, kc, stats = batched.batched_control_tick(
+            cfg, pb, cs, mem, sens, joy, dt,
+            admm_backend="pallas_shared", kkt_backend="amortized",
+            kkt_carry=kc, kkt_amortize_capacity=1, kkt_refine_order=2,
+            admm_block=2, kkt_block=2, rescue_capacity=2,
+            rescue_iters=150, return_stats=True, interpret=True)
+        cur = np.asarray(cs.contacts)
+        flipped = flipped or (cur != prev).any()
+        prev = cur
+        convs.append(np.asarray(stats["converged"]))
+        for i in range(B):
+            cs_i = jtu.tree_map(lambda a: a[i], cs)
+            p_i = jtu.tree_map(lambda a: a[i], pb)
+            p_mat, q_vec, a_mat, lb, ub = rebuild_mpc_qp(cfg, p_i, cs_i,
+                                                         dt)
+            x64, _, _, _ = qp_ref.solve_qp_ref(
+                np.asarray(p_mat, np.float64),
+                np.asarray(q_vec, np.float64),
+                np.asarray(a_mat, np.float64),
+                np.asarray(lb, np.float64),
+                np.asarray(ub, np.float64), eps=1e-9)
+            f_ref = x64[:12].reshape(4, 3)
+            f_ours = (np.asarray(cs_i.root_rot_mat)
+                      @ np.asarray(cs_i.foot_forces_grf).T)
+            devs.append(np.abs(f_ours.T - f_ref).max())
+    assert flipped, "test never crossed a contact flip"
+    devs = np.array(devs)
+    convs = np.concatenate(convs)
+    assert convs.mean() >= 0.9, convs.mean()
+    assert devs.max() < 2.0, (devs.max(), devs)
