@@ -420,7 +420,11 @@ def _amortized_full_solve(cfg: A1Config, prob, scal_new, mu, settings,
     full_admm_block = min(admm_block, 64)
     hi = jax.lax.Precision.HIGHEST
 
-    assert 0 < capacity < b
+    assert capacity > 0
+    # capacity >= batch degenerates to a full refresh every tick (the
+    # non-amortized schedule with a zero correction) — valid, just not
+    # amortized; small-batch tests and conservative configs use it
+    capacity = min(capacity, b)
     # mandatory refreshes: contact flips (structural KKT change) and
     # pathologically stale factorizations (cold start: make_kkt_carry
     # ages start huge, so the first tick refreshes EVERYTHING)

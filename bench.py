@@ -21,10 +21,13 @@ overstated stance counts (a steady trot is 2-stance ~90% of ticks).
 The batch is warmed ~1.25 s into the steady trot before timing.
 
 The batched path runs the shared-basis Pallas route
-(parallel.batched_control_tick): contact-pattern-REDUCED solver shapes
-(kkt_backend='reduced_admm' — both the KKT inverse and the fused-ADMM
-iterations at the gathered stance-block size) with 'reduced'/'gj' as
-fallback candidates.
+(parallel.batched_control_tick). Round-5 production candidate:
+kkt_backend='amortized' — the batched KKT factorization amortized
+ACROSS ticks (per-tick capacity-bounded refresh, flips mandatory, then
+oldest-first; stale scenarios solve with their carried inverse plus a
+truncated-Neumann correction). 'full' (full-size refactor every tick,
+the round-4 number) is the fallback candidate; selection stays
+quality-first (converged frac, then solves/s).
 
 Latency is reported two ways: device-resident per-tick latency (a scan
 of ticks on-device — what an on-robot TPU would see) and host-in-the-loop
@@ -64,12 +67,34 @@ def build():
     return cfg, params, control_tick, CtrlState, CtrlMem, SensorData, JoyCmd
 
 
+# round-5 sweep (scripts/profile_amortized.py, v5e, batch 1024, two
+# independent processes): full-refactor-every-tick 46.8k ->
+# c256/c192/c160/c128 o2 = 59.4/61.4/63.7/63.7k, c96 o3 = 64.2k, all
+# at converged frac 1.0. Gains flatten below capacity 160 (the
+# refresh shrinks under the fixed correction+assembly cost); 128@1024
+# keeps staleness ages <= ~8, which the matched-staleness dense golden
+# gate certifies (GOLDEN_REPORT.json "amortized_batched").
+AMORTIZE_CAPACITY = 128
+AMORTIZE_REFINE_ORDER = 2
+
+
 def _tick_kwargs(kkt_backend: str) -> dict:
     # 'full' = the full-size solve with the SAME rho-refactored 2-round
     # rescue machinery (the reduced route's fallback path, selected by
     # a reduced tier >= the block count). reduced-shape kernels fit
     # admm_block=128 in scoped VMEM (the route caps full-size branches
     # at 64 internally); full-size backends OOM above 64.
+    # 'amortized' = the round-5 cross-tick amortized factorization
+    # (flip-mandatory + oldest-first refresh of `capacity` scenarios per
+    # tick, truncated-Neumann correction for the rest) — requires a
+    # threaded KktCarry, handled by the bench runners below.
+    if kkt_backend == "amortized":
+        return dict(admm_backend="pallas_shared", kkt_block=32,
+                    admm_block=64, kkt_backend="amortized",
+                    kkt_amortize_capacity=AMORTIZE_CAPACITY,
+                    kkt_refine_order=AMORTIZE_REFINE_ORDER,
+                    rescue_capacity=RESCUE_CAPACITY,
+                    rescue_iters=RESCUE_ITERS)
     nr = 128 if kkt_backend == "full" else 64
     backend = "reduced_admm" if kkt_backend == "full" else kkt_backend
     ablock = 128 if backend == "reduced_admm" else 64
@@ -126,13 +151,58 @@ def _warm_trot(cfg, batch: int, stand_ticks: int = 120,
 def bench_throughput(batch: int, kkt_backend: str, warm_state,
                      ticks: int = 20, reps: int = 3):
     """Closed-loop MPC control ticks/s on one chip (solves/s) from a
-    trot-warm state, plus the converged fraction over the timed window."""
+    trot-warm state, plus the converged fraction over the timed window.
+
+    The 'amortized' backend threads a KktCarry through the scan; its
+    first timed window starts from a WARM carry (one untimed run seeds
+    the factorizations), matching the steady-state schedule a long
+    rollout sees."""
     from a1_qp_mpc_controller_tpu.parallel.batched import (
-        batched_closed_loop_step,
+        batched_closed_loop_step, make_kkt_carry,
     )
 
     cfg, *_ = build()
     pb, terr, carry, joy, dt, _ = warm_state
+    amortized = kkt_backend == "amortized"
+
+    if amortized:
+        kc0 = make_kkt_carry(cfg, batch)
+
+        @jax.jit
+        def run(carry, kc, pb, terr):
+            def body(c, _):
+                cr, k = c
+                cr, k = batched_closed_loop_step(
+                    cfg, pb, terr, cr, joy, dt, kkt_carry=k,
+                    **_tick_kwargs(kkt_backend))
+                return (cr, k), None
+            return jax.lax.scan(body, (carry, kc), None,
+                                length=ticks)[0]
+
+        t0 = time.perf_counter()
+        out, kc = run(carry, kc0, pb, terr)   # seeds the carry
+        jax.block_until_ready(out.cs.joint_torques)
+        log(f"  compile+first run: {time.perf_counter() - t0:.1f}s")
+        best = 0.0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out2, _ = run(out, kc, pb, terr)
+            jax.block_until_ready(out2.cs.joint_torques)
+            best = max(best, batch * ticks / (time.perf_counter() - t0))
+
+        @jax.jit
+        def conv_audit(carry, kc, pb, terr):
+            def body(c, _):
+                cr, k = c
+                cr, k, stats = batched_closed_loop_step(
+                    cfg, pb, terr, cr, joy, dt, kkt_carry=k,
+                    return_stats=True, **_tick_kwargs(kkt_backend))
+                return (cr, k), jnp.mean(
+                    stats["converged"].astype(jnp.float32))
+            return jax.lax.scan(body, (carry, kc), None, length=10)[1]
+
+        conv = jax.device_get(conv_audit(out, kc, pb, terr))
+        return best, float(conv.mean())
 
     @jax.jit
     def run(carry, pb, terr):
@@ -177,25 +247,44 @@ def audit_trot_convergence(kkt_backend: str, warm_state,
     (gait counters live, flips staggered across scenarios) — the solver
     quality the throughput number actually ships with."""
     from a1_qp_mpc_controller_tpu.parallel.batched import (
-        batched_closed_loop_step,
+        batched_closed_loop_step, make_kkt_carry,
     )
 
     cfg, *_ = build()
     pb, terr, carry, joy, dt, _ = warm_state
+    amortized = kkt_backend == "amortized"
 
-    @jax.jit
-    def run(carry, pb, terr):
-        def body(c, _):
-            cr, pb2, terr2 = c
-            cr, stats = batched_closed_loop_step(
-                cfg, pb2, terr2, cr, joy, dt, return_stats=True,
-                **_tick_kwargs(kkt_backend))
-            return (cr, pb2, terr2), jnp.mean(
-                stats["converged"].astype(jnp.float32))
-        return jax.lax.scan(body, (carry, pb, terr), None,
-                            length=ticks)[1]
+    if amortized:
+        batch = int(carry.cs.contacts.shape[0])
+        kc0 = make_kkt_carry(cfg, batch)
 
-    frac = jax.device_get(run(carry, pb, terr))
+        @jax.jit
+        def run(carry, kc, pb, terr):
+            def body(c, _):
+                cr, k = c
+                cr, k, stats = batched_closed_loop_step(
+                    cfg, pb, terr, cr, joy, dt, kkt_carry=k,
+                    return_stats=True, **_tick_kwargs(kkt_backend))
+                return (cr, k), jnp.mean(
+                    stats["converged"].astype(jnp.float32))
+            return jax.lax.scan(body, (carry, kc), None,
+                                length=ticks)[1]
+
+        frac = jax.device_get(run(carry, kc0, pb, terr))
+    else:
+        @jax.jit
+        def run(carry, pb, terr):
+            def body(c, _):
+                cr, pb2, terr2 = c
+                cr, stats = batched_closed_loop_step(
+                    cfg, pb2, terr2, cr, joy, dt, return_stats=True,
+                    **_tick_kwargs(kkt_backend))
+                return (cr, pb2, terr2), jnp.mean(
+                    stats["converged"].astype(jnp.float32))
+            return jax.lax.scan(body, (carry, pb, terr), None,
+                                length=ticks)[1]
+
+        frac = jax.device_get(run(carry, pb, terr))
     return {
         "ticks": ticks,
         "trot_window_mean": round(float(frac.mean()), 4),
@@ -472,7 +561,8 @@ def main():
     # candidate; 'gj' is the full-size fallback.
     cfg, *_ = build()
     candidates = tuple(
-        os.environ.get("TPU_QMPC_BENCH_KKT", "reduced_admm,full").split(","))
+        os.environ.get("TPU_QMPC_BENCH_KKT",
+                       "amortized,full").split(","))
     batch = 1024
     warm_state = _warm_trot(cfg, batch)
     best = 0.0
@@ -554,6 +644,9 @@ def main():
                                   " second straggler round at cap/4"},
             "batched_backend": "pallas_shared",
             "kkt_backend": best_kkt,
+            "amortized": ({"capacity": AMORTIZE_CAPACITY,
+                           "refine_order": AMORTIZE_REFINE_ORDER}
+                          if best_kkt == "amortized" else None),
             "converged_frac_osqp_tol": best_conv,
             "converged_frac_trot_window": trot_conv,
             **golden,

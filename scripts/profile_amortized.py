@@ -164,6 +164,18 @@ def main():
         ("amort c256 o1", "amortized",
          dict(kkt_amortize_capacity=256, kkt_refine_order=1,
               admm_block=64)),
+        ("amort c160 o2", "amortized",
+         dict(kkt_amortize_capacity=160, kkt_refine_order=2,
+              admm_block=64)),
+        ("amort c128 o2", "amortized",
+         dict(kkt_amortize_capacity=128, kkt_refine_order=2,
+              admm_block=64)),
+        ("amort c128 o3", "amortized",
+         dict(kkt_amortize_capacity=128, kkt_refine_order=3,
+              admm_block=64)),
+        ("amort c96 o3", "amortized",
+         dict(kkt_amortize_capacity=96, kkt_refine_order=3,
+              admm_block=64)),
     ]
     sel = os.environ.get("AB_ONLY")
     for name, kb, extra in candidates:
