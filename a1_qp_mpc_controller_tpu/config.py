@@ -117,6 +117,42 @@ class A1Config:
     # ticks are where a fixed budget falls short; the rescue closes
     # them without paying on calm ticks.
     mpc_rescue_iters: int = 0
+    # fixed mode only: deterministic round-robin accuracy polish. Every
+    # ``mpc_polish_every`` ticks a solve gets ``mpc_polish_iters`` EXTRA
+    # warm-started iterations at its carried stepsize (no refactor).
+    # Round-5 finding (scripts/probe_golden_tail.py): the golden-gate
+    # tail of the fixed schedule is warm-start drift in the near-flat
+    # internal-force directions 7-40 ticks AFTER flips — invisible to
+    # the OSQP residual checks (ok-tick residuals overlap offender
+    # residuals completely), so no residual trigger can catch it; a
+    # deterministic polish cadence bounds the drift window instead.
+    # Batched executors implement the same contract with a gathered
+    # top-k pass staggered by scenario index (parallel.batched).
+    # 0 disables (default); bench/golden configs enable it.
+    mpc_polish_every: int = 0
+    mpc_polish_iters: int = 0
+    # fixed mode only: linear warm-start extrapolation gain. The MPC
+    # optimum drifts smoothly between contact flips (foot positions and
+    # yaw move mm/mrad per tick), but its component along the NEAR-FLAT
+    # internal-force directions (r_weights ~1e-7) moves several N per
+    # tick — too fast for a 25-iteration budget to track from last
+    # tick's solution (the golden-tail drift, probe_golden_tail.py).
+    # Warm-starting from x + gain*(x - x_prev) predicts the moving
+    # optimum to first order at ZERO solve cost; the stored delta is
+    # reset at flips (where the cold/rescaled flip policy applies
+    # instead). 0 disables (default).
+    mpc_warm_extrapolate: float = 0.0
+    # fixed mode only: post-flip rescue window shape. The first 4 ticks
+    # after a flip are rescued EVERY tick (the round-4 cooldown); ticks
+    # 5..mpc_cooldown_ticks are rescued every mpc_cooldown_stride-th
+    # tick (staggered by the tick counter). Round-5 finding
+    # (probe_golden_tail.py): every golden-gate offender of the fixed
+    # schedule sits 7-40 ticks post-flip — warm-start drift in the
+    # near-flat force directions with NO residual signature, fixed only
+    # by 150-iteration continuations; a strided cadence buys them at
+    # bounded rescue load. Defaults preserve the round-4 window.
+    mpc_cooldown_ticks: int = 4
+    mpc_cooldown_stride: int = 1
     # 'adaptive': early-exit while_loop with in-solve rho adaptation (lowest
     # latency single-scenario). 'fixed': lock-step fixed-iteration solve
     # with cross-tick warm-start + rho carry (batched throughput path).

@@ -236,6 +236,10 @@ class CtrlMem(struct.PyTreeNode):
     imu_gyro_filter: WindowFilter               # window 5, (3,)
     mpc_warm_x: jnp.ndarray                     # (120,) primal warm start
     mpc_warm_y: jnp.ndarray                     # (200,) dual warm start
+    mpc_warm_dx: jnp.ndarray                    # (120,) last inter-tick
+    #   solution delta, for linear warm-start extrapolation
+    #   (cfg.mpc_warm_extrapolate); zeroed at flips
+    mpc_warm_dy: jnp.ndarray                    # (200,) dual delta
     mpc_rho: jnp.ndarray                        # () carried ADMM stepsize
     mpc_warm_started: jnp.ndarray               # () bool
     mpc_prev_contacts: jnp.ndarray              # (4,) bool: contact pattern
@@ -282,6 +286,8 @@ class CtrlMem(struct.PyTreeNode):
             imu_gyro_filter=make_filter((3,), IMU_FILTER_WINDOW, dtype),
             mpc_warm_x=jnp.zeros((nv,), dtype),
             mpc_warm_y=jnp.zeros((nc,), dtype),
+            mpc_warm_dx=jnp.zeros((nv,), dtype),
+            mpc_warm_dy=jnp.zeros((nc,), dtype),
             qp_warm_x=jnp.zeros((NUM_DOF,), dtype),
             qp_warm_y=jnp.zeros((5 * NUM_LEG,), dtype),
             qp_prev_contacts=jnp.ones((NUM_LEG,), bool),

@@ -47,7 +47,12 @@ import jax.numpy as jnp
 
 PER_CHIP_TARGET = 100_000 / 16  # BASELINE.json: 100k solves/s on v5e-16
 
-RESCUE_CAPACITY = 128
+# rescue pool: with the strided 32-tick cooldown window ~18% of a trot
+# batch is flagged per tick (flips + dense window + stride members);
+# 192 slots cover it. Flagged-but-converged scenarios get a cheap
+# continuation (no refactor) on the amortized route, so the larger
+# window costs iterations only.
+RESCUE_CAPACITY = 192
 RESCUE_ITERS = 150
 
 
@@ -63,7 +68,13 @@ def build():
     )
 
     cfg, params = load_profile("gazebo_mpc")
-    cfg = dataclasses.replace(cfg, mpc_qp_iters=25, mpc_solver_mode="fixed")
+    # round-5 shipped schedule: fixed 25 iterations + strided post-flip
+    # rescue window (dense 4 ticks, then every 4th tick out to 32 —
+    # closes the golden-gate drift tail, scripts/probe_golden_tail.py)
+    cfg = dataclasses.replace(cfg, mpc_qp_iters=25,
+                              mpc_solver_mode="fixed",
+                              mpc_cooldown_ticks=32,
+                              mpc_cooldown_stride=4)
     return cfg, params, control_tick, CtrlState, CtrlMem, SensorData, JoyCmd
 
 

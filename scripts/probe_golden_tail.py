@@ -37,12 +37,34 @@ def main():
     from a1_qp_mpc_controller_tpu.sim import plant as plant_mod
     from a1_qp_mpc_controller_tpu.sim import terrain as terrain_mod
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--polish-every", type=int, default=0)
+    ap.add_argument("--polish-iters", type=int, default=0)
+    ap.add_argument("--extrapolate", type=float, default=0.0)
+    ap.add_argument("--cooldown", type=int, default=4)
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--every", type=int, default=1,
+                    help="audit every N-th tick in [t0, t1]")
+    ap.add_argument("--t0", type=int, default=0,
+                    help="first tick to f64-audit")
+    ap.add_argument("--t1", type=int, default=10 ** 9,
+                    help="last tick to f64-audit")
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--out", default="/tmp/golden_tail.npz")
+    cli = ap.parse_args()
+
     cfg, params = load_profile("gazebo_mpc")
     cfg = dataclasses.replace(cfg, mpc_qp_iters=25,
                               mpc_solver_mode="fixed",
-                              mpc_rescue_iters=150)
+                              mpc_rescue_iters=150,
+                              mpc_polish_every=cli.polish_every,
+                              mpc_polish_iters=cli.polish_iters,
+                              mpc_warm_extrapolate=cli.extrapolate,
+                              mpc_cooldown_ticks=cli.cooldown,
+                              mpc_cooldown_stride=cli.stride)
     terr = terrain_mod.Terrain.flat()
-    seconds, walk_after_s = 10.0, 1.0
+    seconds, walk_after_s = cli.seconds, 1.0
     n_steps = int(seconds / cfg.control_dt)
     walk_after = int(walk_after_s / cfg.control_dt)
     joy = cl.joy_schedule(n_steps, walk_after=walk_after, velx=0.3)
@@ -68,7 +90,8 @@ def main():
         else:
             ticks_since_flip += 1
         prev_contacts = contacts
-        if t < walk_after:
+        if t < walk_after or t < cli.t0 or t > cli.t1 \
+                or (t - cli.t0) % cli.every:
             continue
         p_mat, q_vec, a_mat, lb, ub = rebuild_mpc_qp(cfg, params, cs, dt)
         p64 = np.asarray(p_mat, np.float64)
@@ -96,7 +119,7 @@ def main():
             print(f"t={t} dev={dev:.3f}", flush=True)
 
     arr = np.array(rows)
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/golden_tail.npz"
+    out = cli.out
     np.savez(out, rows=arr)
     dev = arr[:, 1]
     bad = arr[dev > 2.0]

@@ -37,8 +37,13 @@ def main():
     from a1_qp_mpc_controller_tpu.types import JoyCmd
 
     cfg, params = load_profile("gazebo_mpc")
-    cfg = dataclasses.replace(cfg, mpc_qp_iters=25,
-                              mpc_solver_mode="fixed")
+    cfg = dataclasses.replace(
+        cfg, mpc_qp_iters=25, mpc_solver_mode="fixed",
+        # round-5 shipped schedule: strided 32-tick post-flip rescue
+        # window (see config.mpc_cooldown_ticks); override with env
+        # AB_COOLDOWN/AB_STRIDE to A/B the window itself
+        mpc_cooldown_ticks=int(os.environ.get("AB_COOLDOWN", "32")),
+        mpc_cooldown_stride=int(os.environ.get("AB_STRIDE", "4")))
     batch = int(os.environ.get("AB_BATCH", "1024"))
     ticks = int(os.environ.get("AB_TICKS", "20"))
     reps = int(os.environ.get("AB_REPS", "3"))
@@ -52,7 +57,9 @@ def main():
     dt = jnp.float32(cfg.control_dt)
 
     base_kw = dict(admm_backend="pallas_shared", kkt_block=32,
-                   rescue_capacity=128, rescue_iters=150)
+                   rescue_capacity=int(os.environ.get("AB_RESCUE",
+                                                      "192")),
+                   rescue_iters=150)
 
     # warm into the trot with the reference backend
     @jax.jit

@@ -62,9 +62,10 @@ def main():
     from a1_qp_mpc_controller_tpu.types import JoyCmd
     import bench
 
-    cfg, params = load_profile("gazebo_mpc")
-    cfg = dataclasses.replace(cfg, mpc_qp_iters=25,
-                              mpc_solver_mode="fixed")
+    # bench.build() IS the shipped schedule (iters, solver mode, polish
+    # cadence) — using it directly keeps this gate in lock-step with
+    # what bench.py measures
+    cfg, params, *_ = bench.build()
     b = args.batch
     kw = bench._tick_kwargs("amortized")
     # scale the capacity knobs to the small batch, PRESERVING the
@@ -92,9 +93,9 @@ def main():
 
     @jax.jit
     def tick(carry, kc, j):
-        cr, k = batched.batched_closed_loop_step(
-            cfg, pb, terr, carry, j, dt, kkt_carry=k, **kw)
-        return cr, k
+        cr, kc2 = batched.batched_closed_loop_step(
+            cfg, pb, terr, carry, j, dt, kkt_carry=kc, **kw)
+        return cr, kc2
 
     jobs = []
     pb_h = jax.device_get(pb)
