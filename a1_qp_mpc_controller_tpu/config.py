@@ -153,6 +153,11 @@ class A1Config:
     # bounded rescue load. Defaults preserve the round-4 window.
     mpc_cooldown_ticks: int = 4
     mpc_cooldown_stride: int = 1
+    # width of the EVERY-TICK head of the window (ticks 1..dense after
+    # a flip); the full-10s probe showed residual offenders at exactly
+    # since_flip 7 (steep early drift between the 4-tick dense head and
+    # the first strided slot) — 8 closes them
+    mpc_cooldown_dense: int = 4
     # 'adaptive': early-exit while_loop with in-solve rho adaptation (lowest
     # latency single-scenario). 'fixed': lock-step fixed-iteration solve
     # with cross-tick warm-start + rho carry (batched throughput path).

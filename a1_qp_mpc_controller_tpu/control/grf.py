@@ -493,7 +493,7 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
     # out to cfg.mpc_cooldown_ticks (see config for the round-5 golden-
     # tail rationale). cooldown counts DOWN from mpc_cooldown_ticks.
     cd = mem.mpc_flip_cooldown
-    dense = cd > max(0, cfg.mpc_cooldown_ticks - 4)
+    dense = cd > max(0, cfg.mpc_cooldown_ticks - cfg.mpc_cooldown_dense)
     if cfg.mpc_cooldown_stride > 1:
         strided = (cd > 0) & (
             (mem.tick % cfg.mpc_cooldown_stride) == 0)

@@ -157,8 +157,42 @@ def main():
     assert np.isfinite(mean2_v) and mean2_v > 0.0, mean2_v
     print(f"proc {pid}: production-route mean|tau|={mean2_v:.6f} "
           f"max|tau|={float(max2):.6f}", flush=True)
-    print(f"proc {pid}: MULTIHOST_OK {mean_v:.6f} {mean2_v:.6f}",
-          flush=True)
+
+    # --- ROUND-5 shipping route (kkt_backend='amortized') across both
+    # processes: the per-shard KktCarry threads through the sharded
+    # tick, refresh top-k and Neumann correction run per shard
+    from a1_qp_mpc_controller_tpu.parallel.batched import make_kkt_carry
+    kc = to_global2(make_kkt_carry(cfg, batch2))
+
+    def amort_tick(pb, cs, mem, sensors, kc):
+        cs, mem, tq, kc2 = batched_control_tick(
+            cfg, pb, cs, mem, sensors, joy, dt,
+            admm_backend="pallas_shared", kkt_backend="amortized",
+            kkt_carry=kc, kkt_amortize_capacity=1, kkt_refine_order=2,
+            kkt_block=8, admm_block=8, rescue_capacity=2,
+            rescue_iters=4, interpret=True)
+        return cs, mem, tq, kc2
+
+    sm_tick3 = jax.shard_map(amort_tick, mesh=mesh,
+                             in_specs=(spec,) * 5,
+                             out_specs=(spec,) * 4,
+                             check_vma=False)
+
+    @jax.jit
+    def tick3(pb, cs, mem, sensors, kc):
+        cs, mem, tq, kc = sm_tick3(pb, cs, mem, sensors, kc)
+        return cs, mem, kc, jnp.mean(jnp.abs(tq)), jnp.max(jnp.abs(tq))
+
+    cs3, mem3 = cs2, mem2
+    for _ in range(3):
+        cs3, mem3, kc, mean3, max3 = tick3(pb2, cs3, mem3, sensors2,
+                                           kc)
+    mean3_v = float(mean3)
+    assert np.isfinite(mean3_v) and mean3_v > 0.0, mean3_v
+    print(f"proc {pid}: amortized-route mean|tau|={mean3_v:.6f} "
+          f"max|tau|={float(max3):.6f}", flush=True)
+    print(f"proc {pid}: MULTIHOST_OK {mean_v:.6f} {mean2_v:.6f} "
+          f"{mean3_v:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -93,19 +93,32 @@ def main():
 
     @jax.jit
     def tick(carry, kc, j):
-        cr, kc2 = batched.batched_closed_loop_step(
-            cfg, pb, terr, carry, j, dt, kkt_carry=kc, **kw)
-        return cr, kc2
+        cr, kc2, stats = batched.batched_closed_loop_step(
+            cfg, pb, terr, carry, j, dt, kkt_carry=kc,
+            return_stats=True, **kw)
+        return cr, kc2, stats
 
     jobs = []
+    meta = []   # (t, scen, since_flip, age, converged)
     pb_h = jax.device_get(pb)
     cpu0 = jax.devices("cpu")[0]
+    prev_contacts = np.asarray(jax.device_get(carry.cs.contacts))
+    since_flip = np.full(b, 10_000, np.int64)
     for t in range(n_steps):
         j = jtu.tree_map(lambda a: a[t], joy)
-        carry, kc = tick(carry, kc, j)
+        carry, kc, stats = tick(carry, kc, j)
+        cs_contacts = np.asarray(jax.device_get(carry.cs.contacts))
+        flipped = (cs_contacts != prev_contacts).any(axis=1)
+        since_flip = np.where(flipped, 0, since_flip + 1)
+        prev_contacts = cs_contacts
         if t < walk_after or (t - walk_after) % args.sample_every:
             continue
+        ages = np.asarray(jax.device_get(kc.age))
+        conv = np.asarray(jax.device_get(stats["converged"]))
         cs_h = jax.device_get(carry.cs)
+        for i in range(b):
+            meta.append((t, i, int(since_flip[i]), int(ages[i]),
+                         bool(conv[i])))
         for i in range(b):
             cs_i = jtu.tree_map(lambda a: a[i], cs_h)
             p_i = jtu.tree_map(lambda a: np.asarray(a)[i], pb_h)
@@ -133,6 +146,15 @@ def main():
 
     with mp.Pool(args.workers) as pool:
         devs = np.array(pool.map(_solve_one, jobs, chunksize=8))
+
+    meta = np.array(meta, dtype=np.int64)    # (N, 5)
+    np.savez("/tmp/amortized_gate_detail.npz", meta=meta, devs=devs)
+    bad = np.argsort(-devs)[:12]
+    print("worst samples (dev, t, scen, since_flip, age, conv):")
+    for k in bad:
+        print(f"  {devs[k]:7.2f}  t={meta[k][0]:4d} scen={meta[k][1]} "
+              f"since_flip={meta[k][2]:4d} age={meta[k][3]:2d} "
+              f"conv={bool(meta[k][4])}")
 
     tol = 2.0
     rep = {

@@ -55,9 +55,11 @@ def test_two_process_distributed_tick():
         assert f"MULTIHOST_OK" in out, out[-3000:]
         assert "processes=2 local_devices=4 global_devices=8" in out, \
             out[-3000:]
-    # the cross-process-reduced metrics (XLA route AND the production
-    # pallas_shared/reduced_admm route) must be identical on both ranks
+    # the cross-process-reduced metrics (XLA route, the round-4
+    # pallas_shared/reduced_admm route, AND the round-5 amortized
+    # route) must be identical on both ranks
     for out in outs:
         assert "production-route mean|tau|=" in out, out[-3000:]
-    vals = [out.split("MULTIHOST_OK")[1].split()[:2] for out in outs]
+        assert "amortized-route mean|tau|=" in out, out[-3000:]
+    vals = [out.split("MULTIHOST_OK")[1].split()[:3] for out in outs]
     assert vals[0] == vals[1], vals
