@@ -332,7 +332,8 @@ def _gathered_rescue(sol, p_of, q_of, l_of, u_of, scal_of, a0, a1, mu_v,
 
 def _gathered_polish(sol, p_of, q_of, l_of, u_of, scal_of, a0, a1, mu_v,
                      minv_of, rho_of, settings, *, due, cap: int,
-                     iters: int, admm_block: int, interpret: bool):
+                     iters: int, admm_block: int, interpret: bool,
+                     return_taken: bool = False):
     """Round-robin accuracy polish (round 5): gather the ``due``
     scenarios (deterministic (tick + scenario) % K cadence, computed by
     the caller) and continue their solve for ``iters`` more iterations
@@ -370,7 +371,16 @@ def _gathered_polish(sol, p_of, q_of, l_of, u_of, scal_of, a0, a1, mu_v,
         patched = jnp.where(keep, new, jnp.take(orig, ridx, axis=0))
         return orig.at[ridx].set(patched)
 
-    return jax.tree_util.tree_map(merge, sol, sol_r)
+    out = jax.tree_util.tree_map(merge, sol, sol_r)
+    if return_taken:
+        # which scenarios actually got a continuation slot this round
+        # (regardless of acceptance) — the caller uses it to drive a
+        # cond-gated overflow round when flip clusters push the due
+        # count past the pool size
+        taken = jnp.zeros(due.shape, bool).at[ridx].set(
+            jnp.take(due, ridx, axis=0))
+        return out, taken
+    return out
 
 
 def polish_due_mask(cfg: A1Config, mem_b) -> "jnp.ndarray | None":
@@ -554,11 +564,24 @@ def _amortized_full_solve(cfg: A1Config, prob, scal_new, mu, settings,
         # a gathered inverse for scenarios whose factorization was
         # already healthy.
         due_acc = prob.rescue_flag & sol.converged
-        sol = _gathered_polish(
-            sol, prob.p_mat, prob.q_vec, prob.lb, prob.ub, scal_used,
-            a0f, a1f, mu, minv_eff, rho_used, settings, due=due_acc,
+        cont = lambda s, d, rt: _gathered_polish(
+            s, prob.p_mat, prob.q_vec, prob.lb, prob.ub, scal_used,
+            a0f, a1f, mu, minv_eff, rho_used, settings, due=d,
             cap=rescue_capacity, iters=rescue_iters,
-            admm_block=admm_block, interpret=interpret)
+            admm_block=admm_block, interpret=interpret,
+            return_taken=rt)
+        sol, taken = cont(sol, due_acc, True)
+        # overflow round: the top-k pool ranks by residual, but the
+        # flat-direction error this continuation exists to fix has NO
+        # residual signature (probe_golden_tail.py) — a starved flagged
+        # scenario can be the worst offender (measured 36 N on the
+        # batch-8 gate when a flip cluster overflowed the pool). When
+        # the due count exceeds the pool, run one more round on the
+        # remainder; flip clusters are transient, so this fires rarely.
+        due_left = due_acc & ~taken
+        sol = jax.lax.cond(
+            jnp.any(due_left),
+            lambda s: cont(s, due_left, False), lambda s: s, sol)
         # (b) TRUE rescue for unconverged scenarios: refactor at the
         # first pass's rho estimate + continue; cond-skipped on the
         # (common) all-converged tick, and a second smaller straggler

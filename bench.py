@@ -74,19 +74,23 @@ def build():
     cfg = dataclasses.replace(cfg, mpc_qp_iters=25,
                               mpc_solver_mode="fixed",
                               mpc_cooldown_ticks=32,
-                              mpc_cooldown_stride=4)
+                              mpc_cooldown_stride=4,
+                              mpc_cooldown_dense=12)
     return cfg, params, control_tick, CtrlState, CtrlMem, SensorData, JoyCmd
 
 
 # round-5 sweep (scripts/profile_amortized.py, v5e, batch 1024, two
 # independent processes): full-refactor-every-tick 46.8k ->
 # c256/c192/c160/c128 o2 = 59.4/61.4/63.7/63.7k, c96 o3 = 64.2k, all
-# at converged frac 1.0. Gains flatten below capacity 160 (the
-# refresh shrinks under the fixed correction+assembly cost); 128@1024
-# keeps staleness ages <= ~8, which the matched-staleness dense golden
-# gate certifies (GOLDEN_REPORT.json "amortized_batched").
+# at converged frac 1.0 (narrow round-4 rescue window). With the
+# round-5 golden-closing window (dense 12/stride 4/32) the same
+# backends measure: full 44.0k, c128 o2 53.0k, c128 o3 53.1k — order
+# 3 is free in the tick, so it ships for extra staleness margin.
+# 128@1024 keeps ages <= ~8; force accuracy of the stale-corrected
+# route is certified on-chip by the matched-staleness dense golden
+# gate (GOLDEN_REPORT.json "amortized_batched").
 AMORTIZE_CAPACITY = 128
-AMORTIZE_REFINE_ORDER = 2
+AMORTIZE_REFINE_ORDER = 3
 
 
 def _tick_kwargs(kkt_backend: str) -> dict:

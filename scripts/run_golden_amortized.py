@@ -73,8 +73,8 @@ def main():
     # means ages cycle 0..~5; capacity=1 at batch 4-8 ages 0..(b-1),
     # i.e. as stale or STALER than production. Rescue capacity keeps
     # the production 1/8 ratio (min 2).
-    kw.update(kkt_amortize_capacity=1,
-              rescue_capacity=max(2, b // 8),
+    kw.update(kkt_amortize_capacity=max(1, b // 8),
+              rescue_capacity=max(2, b // 4),
               admm_block=min(kw["admm_block"], b),
               kkt_block=min(kw["kkt_block"], b))
     print(f"devices: {jax.devices()}  batch={b}  kwargs={kw}", flush=True)

@@ -72,12 +72,13 @@ def main():
                        solver_mode="fixed", mpc_iters=25,
                        rescue_iters=150,
                        cooldown_ticks=32, cooldown_stride=4,
+                       cooldown_dense=12,
                        ref_fidelity_baseline=True)
         rep["config"] = ("gazebo_mpc flat trot 0.3 m/s, SHIPPED bench "
                          "config: fixed 25 it + 150-it flip rescue over "
-                         "the STRIDED 32-tick cooldown window (dense 4, "
-                         "then every 4th tick; round 5), 10 s, DENSE "
-                         "per-tick sampling")
+                         "the STRIDED 32-tick cooldown window (dense "
+                         "12, then every 4th tick; round 5), 10 s, "
+                         "DENSE per-tick sampling")
         log("fixed_25it_rescue", rep)
 
     if want("fixed_50it"):
