@@ -158,6 +158,14 @@ class A1Config:
     # since_flip 7 (steep early drift between the 4-tick dense head and
     # the first strided slot) — 8 closes them
     mpc_cooldown_dense: int = 4
+    # fixed mode only: drift-predictive rescue trigger (N). When the
+    # last inter-tick first-step force delta exceeds this, the scenario
+    # is rescue-flagged on the NEXT tick: the golden-tail episodes are
+    # windows where the optimum slews ~0.5-1 N/tick in the near-flat
+    # directions — the slew itself is the only observable signature
+    # (solver residuals carry none), and it is already maintained in
+    # mem.mpc_warm_dx for the extrapolation experiment. 0 disables.
+    mpc_drift_rescue_n: float = 0.0
     # 'adaptive': early-exit while_loop with in-solve rho adaptation (lowest
     # latency single-scenario). 'fixed': lock-step fixed-iteration solve
     # with cross-tick warm-start + rho carry (batched throughput path).

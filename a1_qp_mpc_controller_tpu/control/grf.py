@@ -500,6 +500,12 @@ def mpc_problem(cfg: A1Config, params: RobotParams, cs: CtrlState,
     else:
         strided = cd > 0
     rescue_flag = flipped | dense | strided
+    if cfg.mpc_drift_rescue_n > 0.0:
+        # drift-predictive trigger: last tick's first-step force slew
+        # (mem.mpc_warm_dx is zeroed at flips / cold starts)
+        slew = jnp.max(jnp.abs(mem.mpc_warm_dx[:12]))
+        rescue_flag = rescue_flag | (
+            (slew > cfg.mpc_drift_rescue_n) & mem.mpc_warm_started)
     if cfg.mpc_solver_mode != "fixed":
         # adaptive mode: COLD restart on flip ticks. Measured (round 4,
         # dense per-tick golden sampling): the masked+rescaled warm

@@ -47,6 +47,7 @@ def main():
     ap.add_argument("--every", type=int, default=1,
                     help="audit every N-th tick in [t0, t1]")
     ap.add_argument("--dense", type=int, default=4)
+    ap.add_argument("--drift", type=float, default=0.0)
     ap.add_argument("--t0", type=int, default=0,
                     help="first tick to f64-audit")
     ap.add_argument("--t1", type=int, default=10 ** 9,
@@ -64,7 +65,8 @@ def main():
                               mpc_warm_extrapolate=cli.extrapolate,
                               mpc_cooldown_ticks=cli.cooldown,
                               mpc_cooldown_stride=cli.stride,
-                              mpc_cooldown_dense=cli.dense)
+                              mpc_cooldown_dense=cli.dense,
+                              mpc_drift_rescue_n=cli.drift)
     terr = terrain_mod.Terrain.flat()
     seconds, walk_after_s = cli.seconds, 1.0
     n_steps = int(seconds / cfg.control_dt)

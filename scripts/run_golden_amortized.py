@@ -47,6 +47,14 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--sample-every", type=int, default=1)
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--rescue-capacity", type=int, default=0,
+                    help="override the scaled rescue pool (0 = b//4)")
+    ap.add_argument("--backend", default="amortized",
+                    help="bench _tick_kwargs backend (amortized | full "
+                         "| gj ...) — non-amortized backends run the "
+                         "same gate without a KktCarry, isolating the "
+                         "amortization machinery from schedule/instance "
+                         "effects")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -67,16 +75,21 @@ def main():
     # what bench.py measures
     cfg, params, *_ = bench.build()
     b = args.batch
-    kw = bench._tick_kwargs("amortized")
+    amortized = args.backend == "amortized"
+    kw = bench._tick_kwargs(args.backend)
     # scale the capacity knobs to the small batch, PRESERVING the
     # production staleness profile: capacity/batch = 192/1024 ~ 0.19
     # means ages cycle 0..~5; capacity=1 at batch 4-8 ages 0..(b-1),
     # i.e. as stale or STALER than production. Rescue capacity keeps
     # the production 1/8 ratio (min 2).
-    kw.update(kkt_amortize_capacity=max(1, b // 8),
-              rescue_capacity=max(2, b // 4),
+    kw.update(rescue_capacity=(args.rescue_capacity
+                               or max(2, b // 4)),
               admm_block=min(kw["admm_block"], b),
               kkt_block=min(kw["kkt_block"], b))
+    if amortized:
+        kw.update(kkt_amortize_capacity=max(1, b // 8))
+    if kw.get("kkt_big_capacity"):
+        kw.update(kkt_big_capacity=max(2, b // 4))
     print(f"devices: {jax.devices()}  batch={b}  kwargs={kw}", flush=True)
 
     pb, terr, carry = batched.make_flat_batch(
@@ -93,10 +106,14 @@ def main():
 
     @jax.jit
     def tick(carry, kc, j):
-        cr, kc2, stats = batched.batched_closed_loop_step(
-            cfg, pb, terr, carry, j, dt, kkt_carry=kc,
-            return_stats=True, **kw)
-        return cr, kc2, stats
+        if amortized:
+            cr, kc2, stats = batched.batched_closed_loop_step(
+                cfg, pb, terr, carry, j, dt, kkt_carry=kc,
+                return_stats=True, **kw)
+            return cr, kc2, stats
+        cr, stats = batched.batched_closed_loop_step(
+            cfg, pb, terr, carry, j, dt, return_stats=True, **kw)
+        return cr, kc, stats
 
     jobs = []
     meta = []   # (t, scen, since_flip, age, converged)
@@ -182,7 +199,9 @@ def main():
             report = json.load(f)
     except (OSError, ValueError):
         report = {}
-    report["amortized_batched"] = rep
+    key = ("amortized_batched" if amortized
+           else f"{args.backend}_batched_gate")
+    report[key] = rep
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {out_path}", flush=True)
