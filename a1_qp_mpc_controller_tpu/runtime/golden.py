@@ -91,6 +91,7 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
              rescue_iters: int = 0, polish_every: int = 0,
              polish_iters: int = 0, cooldown_ticks: int = 4,
              cooldown_stride: int = 1, cooldown_dense: int = 4,
+             drift_rescue_n: float = 0.0,
              ref_fidelity_baseline: bool = False) -> dict:
     cfg, params = load_profile(profile)
     cfg = dataclasses.replace(cfg, mpc_qp_iters=mpc_iters,
@@ -100,7 +101,8 @@ def run_gate(seconds: float = 10.0, sample_every: int = 50,
                               mpc_polish_iters=polish_iters,
                               mpc_cooldown_ticks=cooldown_ticks,
                               mpc_cooldown_stride=cooldown_stride,
-                              mpc_cooldown_dense=cooldown_dense)
+                              mpc_cooldown_dense=cooldown_dense,
+                              mpc_drift_rescue_n=drift_rescue_n)
     terrain = terrain if terrain is not None else terrain_mod.Terrain.flat()
     n_steps = int(seconds / cfg.control_dt)
     walk_after = int(walk_after_s / cfg.control_dt)

@@ -69,13 +69,18 @@ def build():
 
     cfg, params = load_profile("gazebo_mpc")
     # round-5 shipped schedule: fixed 25 iterations + strided post-flip
-    # rescue window (dense 4 ticks, then every 4th tick out to 32 —
-    # closes the golden-gate drift tail, scripts/probe_golden_tail.py)
+    # rescue window (dense 12 ticks, then every 4th out to 32) + the
+    # 0.5 N drift-predictive trigger — together they close the dense
+    # golden gate at frac 1.0 / max 0.70 N (probe_golden_tail.py,
+    # 3600 every-tick samples; the window alone left 3 offenders, the
+    # trigger alone closes but over-fires on natural touchdown ramps
+    # without the window absorbing the post-flip share)
     cfg = dataclasses.replace(cfg, mpc_qp_iters=25,
                               mpc_solver_mode="fixed",
                               mpc_cooldown_ticks=32,
                               mpc_cooldown_stride=4,
-                              mpc_cooldown_dense=12)
+                              mpc_cooldown_dense=12,
+                              mpc_drift_rescue_n=0.5)
     return cfg, params, control_tick, CtrlState, CtrlMem, SensorData, JoyCmd
 
 

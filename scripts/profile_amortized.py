@@ -44,7 +44,8 @@ def main():
         # AB_COOLDOWN/AB_STRIDE to A/B the window itself
         mpc_cooldown_ticks=int(os.environ.get("AB_COOLDOWN", "32")),
         mpc_cooldown_stride=int(os.environ.get("AB_STRIDE", "4")),
-        mpc_cooldown_dense=int(os.environ.get("AB_DENSE", "4")))
+        mpc_cooldown_dense=int(os.environ.get("AB_DENSE", "4")),
+        mpc_drift_rescue_n=float(os.environ.get("AB_DRIFT", "0.0")))
     batch = int(os.environ.get("AB_BATCH", "1024"))
     ticks = int(os.environ.get("AB_TICKS", "20"))
     reps = int(os.environ.get("AB_REPS", "3"))

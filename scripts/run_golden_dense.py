@@ -72,13 +72,14 @@ def main():
                        solver_mode="fixed", mpc_iters=25,
                        rescue_iters=150,
                        cooldown_ticks=32, cooldown_stride=4,
-                       cooldown_dense=12,
+                       cooldown_dense=12, drift_rescue_n=0.5,
                        ref_fidelity_baseline=True)
         rep["config"] = ("gazebo_mpc flat trot 0.3 m/s, SHIPPED bench "
                          "config: fixed 25 it + 150-it flip rescue over "
                          "the STRIDED 32-tick cooldown window (dense "
-                         "12, then every 4th tick; round 5), 10 s, "
-                         "DENSE per-tick sampling")
+                         "12, then every 4th tick) + 0.5 N drift-"
+                         "predictive trigger (round 5), 10 s, DENSE "
+                         "per-tick sampling")
         log("fixed_25it_rescue", rep)
 
     if want("fixed_50it"):
