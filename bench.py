@@ -635,9 +635,18 @@ def main():
         with open(os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),
                 "GOLDEN_REPORT.json")) as f:
-            g = json.load(f)["fixed_25it_rescue"]
+            rep = json.load(f)
+        g = rep["fixed_25it_rescue"]
         golden = {"golden_frac_within_2N": g["frac_within_tol"],
                   "golden_max_dev_N": round(g["max_dev_N"], 3)}
+        ab = rep.get("amortized_batched")
+        if ab:
+            # the on-chip randomized-params batched force gate (harder:
+            # includes low-mu/heavy domain-randomized draws)
+            golden["golden_batched_randomized_frac"] = round(
+                ab["frac_within_tol"], 4)
+            golden["golden_batched_randomized_p95_N"] = round(
+                ab["p95_dev_N"], 3)
     except (OSError, KeyError, ValueError) as e:  # report absence honestly
         golden = {"golden_frac_within_2N": None,
                   "golden_gate_error": f"{type(e).__name__}: {e}"}
@@ -659,9 +668,15 @@ def main():
             "admm_iters_per_solve": 25,
             "rescue": {"capacity": RESCUE_CAPACITY,
                        "iters": RESCUE_ITERS,
-                       "trigger": "unconverged, contact-flip, or 4-tick"
-                                  " post-flip cooldown; rho-refactored;"
-                                  " second straggler round at cap/4"},
+                       "trigger": "unconverged; contact flip; strided"
+                                  " 32-tick cooldown window (dense 12,"
+                                  " then every 4th tick); 0.5 N"
+                                  " drift-predictive trigger."
+                                  " Flagged-converged scenarios get a"
+                                  " no-refactor continuation (+ overflow"
+                                  " round); unconverged get a"
+                                  " rho-refactored rescue, cond-skipped"
+                                  " when clean"},
             "batched_backend": "pallas_shared",
             "kkt_backend": best_kkt,
             "amortized": ({"capacity": AMORTIZE_CAPACITY,
