@@ -155,3 +155,53 @@ def test_terrain_adaptation_flat_is_zero():
         foot_pos_recent_contact=params.default_foot_pos)
     cs2, mem2 = grf.terrain_adaptation(cfg, cs, mem)
     assert abs(float(cs2.terrain_pitch_angle)) < 1e-4
+
+
+def test_rescue_flag_policy_round5():
+    """Round-5 rescue-flag policy (control/grf.mpc_problem): flips flag;
+    the dense head flags every tick; the strided tail flags only on
+    stride-aligned ticks; the 0.5 N drift-predictive trigger flags on
+    last-tick first-step force slew; calm ticks don't flag."""
+    from a1_qp_mpc_controller_tpu.control import grf
+
+    cfg, params, cs, mem = setup()
+    cfg = dataclasses.replace(cfg, mpc_solver_mode="fixed",
+                              mpc_cooldown_ticks=32,
+                              mpc_cooldown_stride=4,
+                              mpc_cooldown_dense=12,
+                              mpc_drift_rescue_n=0.5)
+    dt = jnp.float32(cfg.control_dt)
+    cs = cs.replace(root_pos=jnp.array([0.0, 0.0, 0.3]),
+                    foot_pos_abs=params.default_foot_pos,
+                    contacts=jnp.array([True, False, False, True]))
+    base = mem.replace(mpc_warm_started=jnp.asarray(True),
+                       mpc_prev_contacts=cs.contacts)
+
+    def flag(m):
+        return bool(grf.mpc_problem(cfg, params, cs, m, dt).rescue_flag)
+
+    # calm tick: warm-started, same contacts, no cooldown, no slew
+    assert not flag(base)
+    # contact flip
+    m = base.replace(mpc_prev_contacts=jnp.array([True] * 4))
+    prob = grf.mpc_problem(cfg, params, cs, m, dt)
+    assert bool(prob.flipped) and bool(prob.rescue_flag)
+    # dense head: cooldown counts DOWN from 32; cd=21 -> since_flip 11
+    # (<= dense 12) flags on ANY tick parity
+    m = base.replace(mpc_flip_cooldown=jnp.int32(21),
+                     tick=jnp.int32(103))
+    assert flag(m)
+    # strided tail: cd=10 -> since_flip 22; flags only when tick % 4 == 0
+    m = base.replace(mpc_flip_cooldown=jnp.int32(10),
+                     tick=jnp.int32(104))
+    assert flag(m)
+    m = base.replace(mpc_flip_cooldown=jnp.int32(10),
+                     tick=jnp.int32(103))
+    assert not flag(m)
+    # drift trigger: last-tick first-step force slew above 0.5 N
+    dx = jnp.zeros_like(base.mpc_warm_dx).at[2].set(0.6)
+    assert flag(base.replace(mpc_warm_dx=dx))
+    assert not flag(base.replace(mpc_warm_dx=dx * 0.5))
+    # slew in a LATER horizon step's variables does not trigger
+    dx_late = jnp.zeros_like(base.mpc_warm_dx).at[30].set(5.0)
+    assert not flag(base.replace(mpc_warm_dx=dx_late))
