@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--rescue-capacity", type=int, default=0,
                     help="override the scaled rescue pool (0 = b//4)")
+    ap.add_argument("--rescue-iters", type=int, default=0,
+                    help="override the continuation/rescue budget")
     ap.add_argument("--backend", default="amortized",
                     help="bench _tick_kwargs backend (amortized | full "
                          "| gj ...) — non-amortized backends run the "
@@ -88,6 +90,8 @@ def main():
               kkt_block=min(kw["kkt_block"], b))
     if amortized:
         kw.update(kkt_amortize_capacity=max(1, b // 8))
+    if args.rescue_iters:
+        kw.update(rescue_iters=args.rescue_iters)
     if kw.get("kkt_big_capacity"):
         kw.update(kkt_big_capacity=max(2, b // 4))
     print(f"devices: {jax.devices()}  batch={b}  kwargs={kw}", flush=True)
